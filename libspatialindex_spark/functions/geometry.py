@@ -1,0 +1,127 @@
+"""Closed-interval MBR predicates as Spark Column expressions.
+
+Bit-for-bit the semantics of the reference geometry kernel
+(``/root/reference/src/spatialindex/Region.cc``):
+
+* ``intersects``      — Region.cc:264-276  (touching boundaries DO intersect)
+* ``contains``        — Region.cc:278-290  (closed both sides)
+* ``contains_point``  — Region.cc:374-386  (the reference's point-in-"polygon";
+  polygons only exist as MBRs: ``src/rtree/RTree.cc:583-585``)
+* ``touches``         — Region.cc:292-309, 388-405 (±epsilon on any boundary)
+* ``min_dist2_point`` — Region.cc:407-429  (squared Euclidean point↔box, 0 inside)
+* ``min_dist2_box``   — Region.cc:312-338  (squared Euclidean box↔box)
+
+Everything is a pure ``pyspark.sql.functions`` expression → whole-stage
+codegen, no Python in the hot path.  Boxes are four DoubleType columns
+(xmin, ymin, xmax, ymax); points are (x, y).  All intervals are closed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Machine epsilon used by the reference's touches (Tools.h DOUBLE_EPS usage
+# in Region.cc:292-309).
+EPS = 2.220446049250313e-16
+
+
+def _c(v) -> Column:
+    return v if isinstance(v, Column) else F.lit(float(v))
+
+
+def intersects(
+    axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax
+) -> Column:
+    """a ∩ b ≠ ∅ on closed intervals (Region.cc:264-276).
+
+    ``!(a.low > b.high || a.high < b.low)`` per dimension — boundary touch
+    counts as intersection.
+    """
+    axmin, aymin, axmax, aymax = map(_c, (axmin, aymin, axmax, aymax))
+    bxmin, bymin, bxmax, bymax = map(_c, (bxmin, bymin, bxmax, bymax))
+    return (
+        ~((axmin > bxmax) | (axmax < bxmin))
+        & ~((aymin > bymax) | (aymax < bymin))
+    )
+
+
+def contains(
+    axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax
+) -> Column:
+    """a ⊇ b on closed intervals (Region.cc:278-290)."""
+    axmin, aymin, axmax, aymax = map(_c, (axmin, aymin, axmax, aymax))
+    bxmin, bymin, bxmax, bymax = map(_c, (bxmin, bymin, bxmax, bymax))
+    return (
+        (axmin <= bxmin) & (axmax >= bxmax) & (aymin <= bymin) & (aymax >= bymax)
+    )
+
+
+def contains_point(xmin, ymin, xmax, ymax, px, py) -> Column:
+    """Closed-interval point inclusion (Region.cc:374-386)."""
+    xmin, ymin, xmax, ymax, px, py = map(_c, (xmin, ymin, xmax, ymax, px, py))
+    return (xmin <= px) & (px <= xmax) & (ymin <= py) & (py <= ymax)
+
+
+def touches(axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax) -> Column:
+    """Any boundary coordinate within ±EPS while intersecting
+    (Region.cc:292-309)."""
+    axmin, aymin, axmax, aymax = map(_c, (axmin, aymin, axmax, aymax))
+    bxmin, bymin, bxmax, bymax = map(_c, (bxmin, bymin, bxmax, bymax))
+    near = (
+        (F.abs(axmin - bxmin) <= EPS)
+        | (F.abs(axmax - bxmax) <= EPS)
+        | (F.abs(aymin - bymin) <= EPS)
+        | (F.abs(aymax - bymax) <= EPS)
+    )
+    return near & intersects(
+        axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax
+    )
+
+
+def min_dist2_point(xmin, ymin, xmax, ymax, px, py) -> Column:
+    """Squared Euclidean distance point → box, 0 inside (Region.cc:407-429).
+
+    Squared (not sqrt'd) so kNN ordering is exact in integer-derived
+    fixtures; sqrt is monotone so ordering and tie sets are identical.
+    """
+    xmin, ymin, xmax, ymax, px, py = map(_c, (xmin, ymin, xmax, ymax, px, py))
+    dx = F.greatest(xmin - px, px - xmax, F.lit(0.0))
+    dy = F.greatest(ymin - py, py - ymax, F.lit(0.0))
+    return dx * dx + dy * dy
+
+
+def min_dist2_box(
+    axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax
+) -> Column:
+    """Squared Euclidean distance box → box, 0 when intersecting
+    (Region.cc:312-338)."""
+    axmin, aymin, axmax, aymax = map(_c, (axmin, aymin, axmax, aymax))
+    bxmin, bymin, bxmax, bymax = map(_c, (bxmin, bymin, bxmax, bymax))
+    dx = F.greatest(axmin - bxmax, bxmin - axmax, F.lit(0.0))
+    dy = F.greatest(aymin - bymax, bymin - aymax, F.lit(0.0))
+    return dx * dx + dy * dy
+
+
+def combine(axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax):
+    """MBR union (Region.cc:496) → 4 Columns."""
+    return (
+        F.least(_c(axmin), _c(bxmin)),
+        F.least(_c(aymin), _c(bymin)),
+        F.greatest(_c(axmax), _c(bxmax)),
+        F.greatest(_c(aymax), _c(bymax)),
+    )
+
+
+def area(xmin, ymin, xmax, ymax) -> Column:
+    """Box area (Region.cc:239)."""
+    return (_c(xmax) - _c(xmin)) * (_c(ymax) - _c(ymin))
+
+
+def intersecting_area(
+    axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax
+) -> Column:
+    """Area of a ∩ b, 0 if disjoint (Region.cc:457)."""
+    w = F.least(_c(axmax), _c(bxmax)) - F.greatest(_c(axmin), _c(bxmin))
+    h = F.least(_c(aymax), _c(bymax)) - F.greatest(_c(aymin), _c(bymin))
+    return F.when((w >= 0) & (h >= 0), w * h).otherwise(F.lit(0.0))

@@ -1,0 +1,94 @@
+"""k-nearest-neighbor query — Q4 (SURVEY.md §2.1).
+
+Reference semantics (``src/rtree/RTree.cc:744-812``): best-first search on a
+min-dist priority queue, distance = Euclidean point↔MBR
+(``Region.cc:407-429``), and — the subtle part — **every entry tied at the
+k-th distance is returned**, so the result can exceed k rows
+(``RTree.cc:760-762``: stop only when the next node's minDist strictly
+exceeds the current k-th bound).
+
+Distributed shape (no global priority queue):
+
+1. **Ring expansion** (driver loop): grow a square window around the query
+   point until ≥ k entries lie within true distance r (cheap pruned
+   count jobs — the analog of descending the tree until the queue holds k
+   leaves).  Entries outside the window have dist > r ≥ d_k, so the window
+   is a certified superset.
+2. **Threshold**: d_k = k-th smallest distance among candidates (a top-k
+   ``orderBy().limit(k)`` on the pruned set — tiny).
+3. **Tie-inclusive emit**: ``filter(dist2 <= d_k)`` — NOT ``rank() <= k``,
+   which would drop ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from libspatialindex_spark.functions import geometry as G
+from libspatialindex_spark.operators.relation import SpatialRelation
+from libspatialindex_spark.plans.cover import z_cover
+
+
+def _dist2(rel: SpatialRelation, px: float, py: float):
+    b = rel.box
+    return G.min_dist2_point(
+        F.col(b.xmin), F.col(b.ymin), F.col(b.xmax), F.col(b.ymax), px, py
+    )
+
+
+def knn_query(
+    rel: SpatialRelation,
+    px: float,
+    py: float,
+    k: int,
+    dist_col: str = "dist2",
+) -> DataFrame:
+    """All entries with point↔MBR distance ≤ the k-th smallest (ties kept).
+
+    Returns the input columns plus ``dist_col`` (squared distance — sqrt is
+    monotone, so ordering/ties are identical to the reference's Euclidean).
+    """
+    conf = rel.conf
+    wxmin, wymin, wxmax, wymax = conf.world
+    world_r = max(wxmax - wxmin, wymax - wymin)
+    expand = rel.expand_radius() or 0.0
+
+    d2 = _dist2(rel, px, py)
+
+    def candidates(radius: float) -> DataFrame:
+        if rel.z_col and radius < world_r:
+            cov = z_cover(
+                px - radius, py - radius, px + radius, py + radius,
+                conf, expand=2 * expand,
+            )
+            df = rel.pruned(cov)
+        else:
+            df = rel.df
+        return df.withColumn(dist_col, d2).filter(
+            F.col(dist_col) <= radius * radius
+        )
+
+    # Phase 1: ring expansion until the window certifies ≥ k candidates.
+    radius = conf.knn_ring_init
+    cand = candidates(radius)
+    while radius < world_r and cand.limit(k).count() < k:
+        radius *= conf.knn_ring_growth
+        cand = candidates(radius)
+    if radius >= world_r:
+        cand = candidates(world_r)  # may hold fewer than k entries in total
+
+    cand = cand.persist()
+    try:
+        # Phase 2: exact k-th distance bound (top-k on the pruned set).
+        kth_rows = (
+            cand.select(dist_col).orderBy(dist_col).limit(k)
+            .agg(F.max(dist_col).alias("kth")).collect()
+        )
+        kth = kth_rows[0]["kth"]
+        if kth is None:  # empty relation
+            return cand.filter(F.lit(False))
+        # Phase 3: tie-inclusive threshold (RTree.cc:760-762 semantics).
+        return cand.filter(F.col(dist_col) <= F.lit(kth))
+    finally:
+        cand.unpersist(blocking=False)

@@ -1,0 +1,118 @@
+"""Range / containment / point-location queries + aggregates.
+
+Mirrors the reference query surface (SURVEY.md §2.1, §2.5):
+
+* :func:`intersects_query`      — Q1, ``src/rtree/RTree.cc:727-731`` +
+  DFS engine ``:1763-1803``
+* :func:`contains_what_query`   — Q2, ``RTree.cc:675-726`` (query ⊇ data)
+* :func:`point_location_query`  — Q3, ``RTree.cc:737-742``
+* :func:`bounds`                — A5/Q7, root-MBR strategy
+  (``test/rtree/RTreeQuery.cc:166-184``)
+* :func:`count_intersects` / :func:`count_contains` — A1,
+  ``capi/sidx_api.h:193-204``
+* offset/limit — A2, ``sidx_api.h:281-285`` (deterministic here: ordered by
+  id, whereas the reference uses traversal order)
+
+Execution shape: driver computes the Z cover (plans/cover.py) → pruned scan
+(`z BETWEEN` hits partition + row-group zone maps) → codegen'd exact
+closed-interval predicate.  No shuffle; a range query is a single
+embarrassingly-parallel stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from libspatialindex_spark.functions import geometry as G
+from libspatialindex_spark.operators.relation import SpatialRelation
+from libspatialindex_spark.plans.cover import z_cover
+
+
+def _pruned(rel: SpatialRelation, qxmin, qymin, qxmax, qymax) -> DataFrame:
+    if not rel.z_col:
+        return rel.df
+    expand = rel.expand_radius()
+    if expand is None:
+        # Unknown entry extents: pruning on center-Z would be lossy.
+        return rel.df
+    cov = z_cover(qxmin, qymin, qxmax, qymax, rel.conf, expand=2 * expand)
+    return rel.pruned(cov)
+
+
+def intersects_query(
+    rel: SpatialRelation, qxmin: float, qymin: float, qxmax: float, qymax: float
+) -> DataFrame:
+    """Q1 — every entry whose MBR intersects the closed query window."""
+    b = rel.box
+    return _pruned(rel, qxmin, qymin, qxmax, qymax).filter(
+        G.intersects(
+            F.col(b.xmin), F.col(b.ymin), F.col(b.xmax), F.col(b.ymax),
+            qxmin, qymin, qxmax, qymax,
+        )
+    )
+
+
+def contains_what_query(
+    rel: SpatialRelation, qxmin: float, qymin: float, qxmax: float, qymax: float
+) -> DataFrame:
+    """Q2 — entries fully inside the query window (query contains data)."""
+    b = rel.box
+    return _pruned(rel, qxmin, qymin, qxmax, qymax).filter(
+        G.contains(
+            F.lit(qxmin), F.lit(qymin), F.lit(qxmax), F.lit(qymax),
+            F.col(b.xmin), F.col(b.ymin), F.col(b.xmax), F.col(b.ymax),
+        )
+    )
+
+
+def point_location_query(rel: SpatialRelation, px: float, py: float) -> DataFrame:
+    """Q3 — entries whose MBR contains the point (degenerate-window Q1)."""
+    b = rel.box
+    return _pruned(rel, px, py, px, py).filter(
+        G.contains_point(
+            F.col(b.xmin), F.col(b.ymin), F.col(b.xmax), F.col(b.ymax), px, py
+        )
+    )
+
+
+def bounds(rel: SpatialRelation) -> DataFrame:
+    """A5 — dataset MBR (the root-node MBR of the reference tree)."""
+    b = rel.box
+    return rel.df.agg(
+        F.min(b.xmin).alias("xmin"),
+        F.min(b.ymin).alias("ymin"),
+        F.max(b.xmax).alias("xmax"),
+        F.max(b.ymax).alias("ymax"),
+    )
+
+
+def count_intersects(rel, qxmin, qymin, qxmax, qymax) -> DataFrame:
+    """A1 — ``Index_Intersects_count``; returns a 1-row DataFrame."""
+    return intersects_query(rel, qxmin, qymin, qxmax, qymax).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def count_contains(rel, qxmin, qymin, qxmax, qymax) -> DataFrame:
+    """A1 — ``Index_Contains_count``."""
+    return contains_what_query(rel, qxmin, qymin, qxmax, qymax).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def with_offset_limit(
+    df: DataFrame, order_by: str, offset: int = 0, limit: int | None = None
+) -> DataFrame:
+    """A2 — deterministic offset/limit over an explicit order.
+
+    The reference applies offset/limit in *traversal order*
+    (``sidx_api.cc:583-584``), which has no distributed analog; we require
+    an explicit sort key for determinism.
+    """
+    out = df.orderBy(order_by)
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out

@@ -1,0 +1,198 @@
+"""Spatial joins: window-restricted self-join (Q5) and point-in-polygon.
+
+Q5 reference semantics (``src/rtree/RTree.cc:815-823`` + synchronized
+traversal ``:1805-1848``; oracle ``test/rtree/Exhaustive.cc:190-210``):
+emit every pair of *distinct* entries whose MBRs intersect each other AND
+both intersect the query window — **both orders** (a,b) and (b,a) are
+emitted (``RTree.cc:1829-1836`` visits (id1,id2) with both sides swept).
+
+Distributed shape: the synchronized tree-vs-tree descent becomes a
+cell-keyed equi-join — each MBR explodes to the grid cells it overlaps
+(usually 1, extents are tiny), Catalyst picks the join strategy, and the
+exact closed-interval predicate re-checks each candidate pair.  A pair
+whose boxes overlap several shared cells would be emitted once per cell;
+the **reference-corner trick** dedups without a shuffle: emit the pair only
+from the cell containing the intersection's lower-left corner (which lies
+in exactly one cell).
+
+Point-in-polygon join: polygons are a (typically small) dimension layer →
+broadcast; the fact side never shuffles.  For large polygon layers, a
+shuffle join on cell with explicit **hot-cell salting** (the LISA
+equal-frequency-cut precedent, ``src/learnedindex/BulkLoader.cc:543-556``)
+keeps reducers balanced.  Polygons beyond MBRs: the reference reduces every
+shape to its MBR (``src/rtree/RTree.cc:583-585``), so MBR semantics are the
+parity surface; an exact convex-ring refinement is provided as an optional
+extra stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from libspatialindex_spark.functions import geometry as G
+from libspatialindex_spark.operators.relation import SpatialRelation
+
+
+def _cells_of_box(
+    df: DataFrame, box, n: int, world, prefix: str = ""
+) -> DataFrame:
+    """Explode a box relation to one row per overlapped grid cell."""
+    wxmin, wymin, wxmax, wymax = world
+    sx, sy = (wxmax - wxmin) / n, (wymax - wymin) / n
+
+    def idx(c: Column, lo: float, s: float) -> Column:
+        i = F.floor((c - F.lit(lo)) / F.lit(s))
+        return F.least(F.greatest(i, F.lit(0)), F.lit(n - 1)).cast("long")
+
+    out = (
+        df.withColumn("_ix0", idx(F.col(box.xmin), wxmin, sx))
+        .withColumn("_ix1", idx(F.col(box.xmax), wxmin, sx))
+        .withColumn("_iy0", idx(F.col(box.ymin), wymin, sy))
+        .withColumn("_iy1", idx(F.col(box.ymax), wymin, sy))
+        .withColumn("_ix", F.explode(F.sequence(F.col("_ix0"), F.col("_ix1"))))
+        .withColumn("_iy", F.explode(F.sequence(F.col("_iy0"), F.col("_iy1"))))
+        .withColumn(prefix + "cell", F.col("_ix") * F.lit(n) + F.col("_iy"))
+        .drop("_ix0", "_ix1", "_iy0", "_iy1", "_ix", "_iy")
+    )
+    return out
+
+
+def _cell_of_point(px: Column, py: Column, n: int, world) -> Column:
+    wxmin, wymin, wxmax, wymax = world
+    sx, sy = (wxmax - wxmin) / n, (wymax - wymin) / n
+
+    def idx(c: Column, lo: float, s: float) -> Column:
+        i = F.floor((c - F.lit(lo)) / F.lit(s))
+        return F.least(F.greatest(i, F.lit(0)), F.lit(n - 1)).cast("long")
+
+    return idx(px, wxmin, sx) * F.lit(n) + idx(py, wymin, sy)
+
+
+def self_join_query(
+    rel: SpatialRelation,
+    qxmin: float,
+    qymin: float,
+    qxmax: float,
+    qymax: float,
+    id_col: str = "id",
+    join_bits: int = 8,
+) -> DataFrame:
+    """Q5 — pairs (id1, id2), both orders, id1 ≠ id2, both boxes
+    intersecting the window and each other (closed intervals)."""
+    conf = rel.conf
+    n = 1 << join_bits
+    b = rel.box
+
+    # Window restriction first (both sides must intersect the window) —
+    # this is the reference's `m_query` narrowing (RTree.cc:1812-1817).
+    base = rel.df.filter(
+        G.intersects(
+            F.col(b.xmin), F.col(b.ymin), F.col(b.xmax), F.col(b.ymax),
+            qxmin, qymin, qxmax, qymax,
+        )
+    ).select(id_col, b.xmin, b.ymin, b.xmax, b.ymax)
+
+    cells = _cells_of_box(base, b, n, conf.world)
+    left = cells.select(
+        F.col(id_col).alias("id1"),
+        F.col(b.xmin).alias("_axmin"), F.col(b.ymin).alias("_aymin"),
+        F.col(b.xmax).alias("_axmax"), F.col(b.ymax).alias("_aymax"),
+        F.col("cell"),
+    )
+    right = cells.select(
+        F.col(id_col).alias("id2"),
+        F.col(b.xmin).alias("_bxmin"), F.col(b.ymin).alias("_bymin"),
+        F.col(b.xmax).alias("_bxmax"), F.col(b.ymax).alias("_bymax"),
+        F.col("cell"),
+    )
+
+    pair_ok = G.intersects(
+        F.col("_axmin"), F.col("_aymin"), F.col("_axmax"), F.col("_aymax"),
+        F.col("_bxmin"), F.col("_bymin"), F.col("_bxmax"), F.col("_bymax"),
+    ) & (F.col("id1") != F.col("id2"))
+
+    joined = left.join(right, on="cell", how="inner").filter(pair_ok)
+
+    # Reference-corner dedup: the intersection's lower-left corner lies in
+    # exactly one cell — emit the pair only there (no dropDuplicates shuffle).
+    rx = F.greatest(F.col("_axmin"), F.col("_bxmin"))
+    ry = F.greatest(F.col("_aymin"), F.col("_bymin"))
+    in_cell = _cell_of_point(rx, ry, n, conf.world) == F.col("cell")
+
+    return joined.filter(in_cell).select("id1", "id2")
+
+
+def point_in_box_join(
+    points: DataFrame,
+    boxes: DataFrame,
+    px: str,
+    py: str,
+    box,
+    conf,
+    join_bits: int = 8,
+    broadcast_boxes: bool = True,
+    salt: int | None = None,
+    hot_cell_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Point-in-polygon(MBR) join: all (point, box) pairs with the point
+    inside the closed box (Region.cc:374-386 semantics).
+
+    ``broadcast_boxes=True`` — dimension-layer path, zero shuffle on facts.
+    Otherwise a cell-keyed shuffle join; ``salt`` replicates box rows per
+    salt bucket so a hot cell (skewed point pile-up) spreads over ``salt``
+    reducers while point rows stay single-copy.
+    """
+    n = 1 << join_bits
+    bcells = _cells_of_box(boxes, box, n, conf.world)
+    pts = points.withColumn(
+        "cell", _cell_of_point(F.col(px), F.col(py), n, conf.world)
+    )
+    inside = G.contains_point(
+        F.col(box.xmin), F.col(box.ymin), F.col(box.xmax), F.col(box.ymax),
+        F.col(px), F.col(py),
+    )
+    if broadcast_boxes:
+        return pts.join(F.broadcast(bcells), on="cell").filter(inside)
+
+    if salt and salt > 1:
+        bsalted = bcells.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        psalted = pts.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(px), F.col(py)), F.lit(salt)).cast("int"),
+        )
+        return (
+            psalted.join(bsalted, on=["cell", "_salt"])
+            .filter(inside)
+            .drop("_salt")
+        )
+    return pts.join(bcells, on="cell").filter(inside)
+
+
+def convex_pip_refine(
+    joined: DataFrame, px: str, py: str, vertices_col: str = "vertices"
+) -> DataFrame:
+    """Optional exact refinement: point strictly inside a *convex* ring.
+
+    Pure Column expr: for a counter-clockwise convex ring, the point is
+    inside iff every edge cross-product ≥ 0.  ``F.aggregate`` over the
+    vertex array keeps it JVM-side.
+    """
+    verts = F.col(vertices_col)
+    nv = F.size(verts)
+    idx = F.sequence(F.lit(0), nv - 1)
+    crosses = F.transform(
+        idx,
+        lambda i: (
+            (verts[(i + 1) % nv]["x"] - verts[i]["x"])
+            * (F.col(py) - verts[i]["y"])
+            - (verts[(i + 1) % nv]["y"] - verts[i]["y"])
+            * (F.col(px) - verts[i]["x"])
+        ),
+    )
+    all_nonneg = F.aggregate(
+        crosses, F.lit(True), lambda acc, c: acc & (c >= 0)
+    )
+    return joined.filter(all_nonneg)

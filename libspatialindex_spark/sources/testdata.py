@@ -1,0 +1,118 @@
+"""Deterministic spatial derivations over the driver's TPC-H-ish testdata.
+
+The correctness gate compares the Spark engine against a DuckDB oracle that
+only sees the shared parquet tables, so the spatial fixture is *derived*
+inside the query from `lineitem` / `part` with pure integer arithmetic and
+divisions by powers of two.  Every coordinate is an exact dyadic rational
+(k / 2^20 with k < 2^21), so Spark and DuckDB produce bit-identical doubles
+and closed-interval comparisons agree exactly.
+
+This mirrors the reference's randomized fixture generator
+(``test/rtree/Generator.cc:66-91``: uniform points + small boxes, op file
+``op id xmin ymin xmax ymax``) — same shape, reproducible from shared data
+instead of a seed.
+
+The SQL texts below run unmodified on BOTH Spark SQL and DuckDB — one
+source of truth, zero drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+# 2^20 coordinate lattice; extents < 2^16/2^20 = 1/16 per axis.
+SCALE = 1048576  # 2^20
+MAX_EXTENT = 65536 / 1048576.0  # 0.0625 — analytic bound used for pruning
+
+# One entry per lineitem row: id + MBR on the unit square.  Multipliers are
+# odd 32-bit constants (Knuth/Fibonacci-style); all intermediates stay far
+# below 2^63 for any realistic orderkey range.
+RECTS_SQL = f"""
+SELECT
+  l_orderkey * 8 + l_linenumber AS id,
+  CAST((l_orderkey * 2654435761 + l_partkey * 40503
+        + l_linenumber * 7919) % {SCALE} AS DOUBLE) / {SCALE}.0 AS xmin,
+  CAST((l_suppkey * 2246822519 + l_orderkey * 1779033703
+        + l_linenumber * 104729) % {SCALE} AS DOUBLE) / {SCALE}.0 AS ymin,
+  CAST((l_orderkey * 2654435761 + l_partkey * 40503
+        + l_linenumber * 7919) % {SCALE} AS DOUBLE) / {SCALE}.0
+    + CAST((l_partkey * 2654435761 + l_suppkey * 7919 + 97) % 65536
+           AS DOUBLE) / {SCALE}.0 AS xmax,
+  CAST((l_suppkey * 2246822519 + l_orderkey * 1779033703
+        + l_linenumber * 104729) % {SCALE} AS DOUBLE) / {SCALE}.0
+    + CAST((l_suppkey * 2654435761 + l_partkey * 104729 + 31) % 65536
+           AS DOUBLE) / {SCALE}.0 AS ymax
+FROM lineitem
+"""
+
+# Point layer (degenerate boxes): the same centers as RECTS_SQL lower-left.
+POINTS_SQL = f"""
+SELECT
+  l_orderkey * 8 + l_linenumber AS id,
+  CAST((l_orderkey * 2654435761 + l_partkey * 40503
+        + l_linenumber * 7919) % {SCALE} AS DOUBLE) / {SCALE}.0 AS x,
+  CAST((l_suppkey * 2246822519 + l_orderkey * 1779033703
+        + l_linenumber * 104729) % {SCALE} AS DOUBLE) / {SCALE}.0 AS y
+FROM lineitem
+"""
+
+# Polygon(MBR) dimension layer derived from `part` — widths up to 1/32.
+POLYS_SQL = f"""
+SELECT
+  p_partkey AS poly_id,
+  CAST((p_partkey * 2654435761 + 13) % {SCALE} AS DOUBLE) / {SCALE}.0 AS pxmin,
+  CAST((p_partkey * 2246822519 + 29) % {SCALE} AS DOUBLE) / {SCALE}.0 AS pymin,
+  CAST((p_partkey * 2654435761 + 13) % {SCALE} AS DOUBLE) / {SCALE}.0
+    + CAST((p_partkey * 40503 + 11) % 32768 AS DOUBLE) / {SCALE}.0 AS pxmax,
+  CAST((p_partkey * 2246822519 + 29) % {SCALE} AS DOUBLE) / {SCALE}.0
+    + CAST((p_partkey * 104729 + 17) % 32768 AS DOUBLE) / {SCALE}.0 AS pymax
+FROM part
+"""
+
+# Time-versioned layer (MVR analog, SURVEY.md Q9): right-open [tstart, tend).
+RECTS_T_SQL = f"""
+SELECT r.*,
+  CAST((r.id * 7919 + 3) % 1000 AS DOUBLE) AS tstart,
+  CAST((r.id * 7919 + 3) % 1000 AS DOUBLE)
+    + 1.0 + CAST((r.id * 104729 + 5) % 64 AS DOUBLE) AS tend
+FROM ({RECTS_SQL.strip()}) r
+"""
+
+# Moving points (TPR analog, SURVEY.md Q10): position + velocity per axis,
+# reference time 0.  Velocities are dyadic (k - 32)/2^20 with k in [0, 64).
+MOVING_SQL = f"""
+SELECT p.*,
+  (CAST((p.id * 40503 + 7) % 64 AS DOUBLE) - 32.0) / {SCALE}.0 AS vx,
+  (CAST((p.id * 104729 + 19) % 64 AS DOUBLE) - 32.0) / {SCALE}.0 AS vy
+FROM ({POINTS_SQL.strip()}) p
+"""
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (idempotent)."""
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(RECTS_SQL)
+
+
+def points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(POINTS_SQL)
+
+
+def polys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(POLYS_SQL)
