@@ -19,7 +19,15 @@ from pyspark.sql import functions as F
 
 from libspatialindex_spark.config import EngineConfig
 from libspatialindex_spark.functions import curves
-from libspatialindex_spark.operators import knn, range_query, spatial_join
+from libspatialindex_spark.operators import (
+    dedup,
+    knn,
+    range_query,
+    similarity,
+    spatial_join,
+    temporal,
+    text,
+)
 from libspatialindex_spark.operators.relation import BoxCols, SpatialRelation
 from libspatialindex_spark.sources import testdata as td
 
@@ -105,6 +113,25 @@ def q08_key_range(spark, sf_dir):
     )
 
 
+TQ = (200.0, 260.0)  # Q9 time interval [t0, t1)
+MQ = (0.0, 512.0)  # Q10 query time interval [t0, t1]
+
+
+def q09_time_range(spark, sf_dir):
+    """MVR-tree time-versioned range query (SURVEY.md Q9)."""
+    td.register_views(spark, sf_dir)
+    df = spark.sql(td.RECTS_T_SQL)
+    rel = SpatialRelation(df, CONF, max_extent=(td.MAX_EXTENT, td.MAX_EXTENT))
+    return temporal.time_range_query(rel, *W, *TQ).select("id")
+
+
+def q10_moving_range(spark, sf_dir):
+    """TPR-tree moving-object range query (SURVEY.md Q10)."""
+    td.register_views(spark, sf_dir)
+    mov = spark.sql(td.MOVING_SQL)
+    return temporal.moving_range_query(mov, *W, *MQ).select("id")
+
+
 def q20_pip_join(spark, sf_dir):
     pts = td.points(spark, sf_dir)
     pol = td.polys(spark, sf_dir)
@@ -135,6 +162,85 @@ def q23_pip_join_salted(spark, sf_dir):
     ).select("id", "poly_id")
 
 
+ANN_K = 20
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q30_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q31_token_count(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", text.token_count("text").alias("n_tokens"))
+
+
+def q32_quality(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    feats = text.quality_features("text")
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("len_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        feats["stopword_density"].alias("stopword_density"),
+    )
+
+
+def q33_langid(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", text.lang_id("text").alias("lang_guess"))
+
+
+def q34_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+def q35_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), k=8, n_hashes=16, bands=4,
+        threshold=0.4, portable=True,
+    )
+
+
+def q36_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (pandas-UDF signature → rows-only check)."""
+    return dedup.simhash_near_pairs(
+        _docs(spark, sf_dir), max_hamming=16, prefix_bits=8
+    )
+
+
+def _qvec(spark, sf_dir):
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(v) for v in row["embedding"]]
+
+
+def q40_ann_quantized(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ann_topk_quantized(emb, _qvec(spark, sf_dir), ANN_K)
+
+
+def q41_ann_cosine(spark, sf_dir):
+    """Brute-force cosine top-k (float summation order differs across
+    engines → rows-only check; exactness is pytest-verified vs numpy)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ann_topk_cosine(emb, _qvec(spark, sf_dir), ANN_K)
+
+
+def q42_ann_lsh(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ann_lsh_cosine(emb, _qvec(spark, sf_dir), ANN_K)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_range_intersects": q01_range_intersects,
@@ -145,10 +251,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_bounds": q06_bounds,
         "q07_count_range": q07_count_range,
         "q08_key_range": q08_key_range,
+        "q09_time_range": q09_time_range,
+        "q10_moving_range": q10_moving_range,
         "q20_pip_join": q20_pip_join,
         "q21_tile_assign": q21_tile_assign,
         "q22_pip_count_by_poly": q22_pip_count_by_poly,
         "q23_pip_join_salted": q23_pip_join_salted,
+        "q30_exact_dedup": q30_exact_dedup,
+        "q31_token_count": q31_token_count,
+        "q32_quality": q32_quality,
+        "q33_langid": q33_langid,
+        "q34_fingerprint": q34_fingerprint,
+        "q35_minhash_pairs": q35_minhash_pairs,
+        "q36_simhash_pairs": q36_simhash_pairs,
+        "q40_ann_quantized": q40_ann_quantized,
+        "q41_ann_cosine": q41_ann_cosine,
+        "q42_ann_lsh": q42_ann_lsh,
     }
 
 
@@ -157,6 +275,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _R = td.RECTS_SQL.strip()
 _P = td.POINTS_SQL.strip()
 _G = td.POLYS_SQL.strip()
+
+
+def _occ(t: str, needle: str) -> str:
+    """DuckDB replica of text.occurrences (replace trick, int division)."""
+    esc = needle.replace("'", "''")
+    return (
+        f"CAST((length({t}) - length(replace({t}, '{esc}', ''))) "
+        f"/ {len(needle)} AS BIGINT)"
+    )
+
+
+_COLLAPSED = "regexp_replace(text, '[^ ]+', 'w', 'g')"
+_NTOK = (
+    f"CAST(length({_COLLAPSED}) "
+    f"- length(regexp_replace({_COLLAPSED}, 'w', '', 'g')) AS BIGINT)"
+)
+_H60 = "CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+
+
+def _lang_oracle() -> str:
+    pads = "(' ' || text || ' ')"
+    score = {
+        lang: " + ".join(_occ(pads, f" {w} ") for w in words)
+        for lang, words in text.LANG_MARKERS.items()
+    }
+    sel = ", ".join(f"({v}) AS s_{k}" for k, v in score.items())
+    best = "GREATEST(" + ", ".join(f"s_{k}" for k in score) + ")"
+    case = "CASE"
+    for lang in sorted(score):  # alphabetical-first wins ties (engine parity)
+        case += f" WHEN s_{lang} > 0 AND s_{lang} = {best} THEN '{lang}'"
+    case += " ELSE 'und' END"
+    return f"""
+        WITH s AS (SELECT doc_id, {sel} FROM documents)
+        SELECT doc_id, {case} AS lang_guess FROM s
+    """
+
+
+def _minhash_oracle() -> str:
+    m61 = dedup.MERSENNE61
+    h = _H60.format(s="g")
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hv, h -> (h * {a} + {b}) % {m61})) AS s{j}"
+        for j, (a, b) in enumerate(dedup.MINHASH_PARAMS[:16])
+    )
+    r = 4  # 16 hashes / 4 bands
+    band_keys = ", ".join(
+        f"[{', '.join(f's{b * r + i}' for i in range(r))}] AS bk{b}"
+        for b in range(4)
+    )
+    band_joins = "\nUNION\n".join(
+        f"SELECT a.doc_id AS id1, b.doc_id AS id2 FROM sig a, sig b "
+        f"WHERE a.bk{b} = b.bk{b} AND a.doc_id < b.doc_id"
+        for b in range(4)
+    )
+    return f"""
+        WITH sh AS (
+          SELECT doc_id,
+            list_distinct(CASE WHEN length(text) < 8 THEN [text]
+              ELSE list_transform(generate_series(1, length(text) - 7),
+                                  i -> substring(text, i, 8)) END) AS grams
+          FROM documents
+        ),
+        hs AS (
+          SELECT doc_id, grams,
+                 list_transform(grams, g -> {h}) AS hv
+          FROM sh
+        ),
+        sig0 AS (SELECT doc_id, grams, {sig_exprs} FROM hs),
+        sig AS (SELECT *, {band_keys} FROM sig0),
+        cand AS ({band_joins}),
+        verified AS (
+          SELECT c.id1, c.id2,
+            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)
+              AS jaccard
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id1
+          JOIN sh b ON b.doc_id = c.id2
+        )
+        SELECT id1, id2, jaccard FROM verified WHERE jaccard >= 0.4
+    """
+
+
+def _ann_oracle() -> str:
+    qd = (
+        "(CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 100000.0 + 0.5) AS BIGINT)"
+        " - CAST(FLOOR(CAST(q.qe[i] AS DOUBLE) * 100000.0 + 0.5) AS BIGINT))"
+    )
+    return f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        d AS (
+          SELECT e.vec_id,
+            CAST(list_aggregate(
+              list_transform(generate_series(1, len(e.embedding)),
+                             i -> {qd} * {qd}), 'sum') AS BIGINT) AS qdist
+          FROM embeddings e, q
+        ),
+        kth AS (
+          SELECT MAX(qdist) AS kd
+          FROM (SELECT qdist FROM d ORDER BY qdist LIMIT {ANN_K})
+        )
+        SELECT vec_id, qdist FROM d WHERE qdist <= (SELECT kd FROM kth)
+    """
 
 _INTERSECTS_W = (
     f"NOT (xmin > {W[2]} OR xmax < {W[0]}) AND "
@@ -232,6 +453,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, gkey FROM keyed WHERE gkey BETWEEN {GK_LO} AND {GK_HI}
         """,
+        "q09_time_range": f"""
+            WITH rt AS ({td.RECTS_T_SQL.strip()})
+            SELECT id FROM rt
+            WHERE tstart < {TQ[1]} AND tend > {TQ[0]}
+              AND {_INTERSECTS_W}
+        """,
+        "q10_moving_range": f"""
+            WITH mov AS ({td.MOVING_SQL.strip()}),
+            iv AS (
+              SELECT id,
+                CASE WHEN vx = 0.0 THEN
+                  CASE WHEN {W[0]} <= x AND x <= {W[2]} THEN -1e18 ELSE 1e18 END
+                ELSE LEAST(({W[0]} - x) / vx, ({W[2]} - x) / vx) END AS tx_lo,
+                CASE WHEN vx = 0.0 THEN
+                  CASE WHEN {W[0]} <= x AND x <= {W[2]} THEN 1e18 ELSE -1e18 END
+                ELSE GREATEST(({W[0]} - x) / vx, ({W[2]} - x) / vx) END AS tx_hi,
+                CASE WHEN vy = 0.0 THEN
+                  CASE WHEN {W[1]} <= y AND y <= {W[3]} THEN -1e18 ELSE 1e18 END
+                ELSE LEAST(({W[1]} - y) / vy, ({W[3]} - y) / vy) END AS ty_lo,
+                CASE WHEN vy = 0.0 THEN
+                  CASE WHEN {W[1]} <= y AND y <= {W[3]} THEN 1e18 ELSE -1e18 END
+                ELSE GREATEST(({W[1]} - y) / vy, ({W[3]} - y) / vy) END AS ty_hi
+              FROM mov
+            )
+            SELECT id FROM iv
+            WHERE GREATEST(tx_lo, ty_lo, {MQ[0]}) <= LEAST(tx_hi, ty_hi, {MQ[1]})
+        """,
         "q20_pip_join": f"""
             WITH pts AS ({_P}), pol AS ({_G})
             SELECT pts.id, pol.poly_id
@@ -258,4 +506,35 @@ def oracle_sql() -> dict[str, str]:
             FROM pts, pol
             WHERE pxmin <= x AND x <= pxmax AND pymin <= y AND y <= pymax
         """,
+        "q30_exact_dedup": """
+            SELECT md5(text) AS dup_key, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "q31_token_count": f"""
+            SELECT doc_id, {_NTOK} AS n_tokens FROM documents
+        """,
+        "q32_quality": f"""
+            WITH f AS (
+              SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS len_chars,
+                {_occ('text', ' ')} AS n_spaces,
+                {_NTOK} AS n_tokens,
+                {_occ('text', ' the ')} + {_occ('text', ' and ')}
+                  + {_occ('text', ' of ')} + {_occ('text', ' a ')} AS stop
+              FROM documents
+            )
+            SELECT doc_id, len_chars, n_tokens,
+              CAST(len_chars - n_spaces AS DOUBLE)
+                / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS mean_word_len,
+              CAST(stop AS DOUBLE)
+                / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS stopword_density
+            FROM f
+        """,
+        "q33_langid": _lang_oracle(),
+        "q34_fingerprint": f"""
+            SELECT doc_id, {_H60.format(s='text')} AS fp FROM documents
+        """,
+        "q35_minhash_pairs": _minhash_oracle(),
+        "q40_ann_quantized": _ann_oracle(),
     }

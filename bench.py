@@ -1,0 +1,70 @@
+"""Benchmark harness — prints ONE JSON line per the driver contract.
+
+Headline: the north-rule pipeline (image spatial-join + tiling re-encode)
+throughput in images/sec, plus per-query wall seconds for every oracle
+query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Scaling-efficiency evidence (N vs 4N cores) lives in scripts/bench_scaling.py
+→ BENCH.md, per the sandbox evidencing rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from libspatialindex_spark import pipeline
+from libspatialindex_spark.config import EngineConfig
+from libspatialindex_spark.session import get_spark
+from libspatialindex_spark.sources import testdata as td
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    n_images = int(os.environ.get("BENCH_IMAGES", str(int(float(sf) * 1_000_000))))
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    conf = EngineConfig(target_partitions=cpus)
+
+    # Warm the JVM/Arrow paths once so per-query numbers are steady-state.
+    td.rects(spark, sf_dir).count()
+
+    queries: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.time() - t0, 3)
+
+    polys = td.polys(spark, sf_dir)
+    res = pipeline.run(
+        spark, n_images, polys, conf, skewness=2.0, partitions=cpus * 2
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "join_tile_images_per_sec",
+                "value": round(res.images_per_sec, 1),
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf),
+                "pipeline_wall_sec": round(res.seconds, 2),
+                "n_images": res.n_images,
+                "n_join_rows": res.n_join_rows,
+                "n_tiles": res.n_tiles,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

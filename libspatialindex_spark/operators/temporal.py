@@ -1,0 +1,102 @@
+"""Time-versioned and moving-object queries — Q9 / Q10 (SURVEY.md §2.1).
+
+Q9 (MVR-tree analog, ``src/mvrtree/MVRTree.cc:1233-1293``): entries carry a
+right-open validity interval ``[tstart, tend)`` (``tools/Tools.h:80-84``,
+``IT_RIGHTOPEN``); a time-range query selects entries whose interval
+intersects the query interval AND whose MBR passes the spatial predicate.
+The reference dedups results across tree versions via a ``visitedData``
+set; here an entry exists once, so dedup is a no-op ``dropDuplicates``
+guard retained for parity.
+
+Q10 (TPR-tree analog, ``src/tprtree/TPRTree.cc:1207-1252``): entries are
+linear trajectories ``pos(t) = p + v·t``; a query (window, [t0, t1]) emits
+entries whose extrapolated position enters the window at some t in
+[t0, t1].  Per axis the feasible t-interval is computed in closed form;
+the answer is non-empty intersection of both axes' intervals with
+[t0, t1].  The reference's horizon check (``:1211-1212``) becomes a
+validation guard.
+
+Both are pure Column expressions — codegen end to end, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from libspatialindex_spark.functions import geometry as G
+from libspatialindex_spark.operators.relation import SpatialRelation
+
+_FAR = 1.0e18  # empty-interval sentinel
+
+
+def interval_overlaps(
+    tstart: Column, tend: Column, qt0: float, qt1: float
+) -> Column:
+    """Right-open interval intersection: [tstart, tend) ∩ [qt0, qt1) ≠ ∅
+    (MVRTree.cc findRootIdentifiers / Tools.h IT_RIGHTOPEN semantics)."""
+    return (tstart < F.lit(qt1)) & (tend > F.lit(qt0))
+
+
+def time_range_query(
+    rel: SpatialRelation,
+    qxmin: float,
+    qymin: float,
+    qxmax: float,
+    qymax: float,
+    qt0: float,
+    qt1: float,
+    tstart: str = "tstart",
+    tend: str = "tend",
+    id_col: str = "id",
+) -> DataFrame:
+    """Q9 — spatial intersection restricted to a validity-time interval."""
+    b = rel.box
+    out = rel.df.filter(
+        interval_overlaps(F.col(tstart), F.col(tend), qt0, qt1)
+        & G.intersects(
+            F.col(b.xmin), F.col(b.ymin), F.col(b.xmax), F.col(b.ymax),
+            qxmin, qymin, qxmax, qymax,
+        )
+    )
+    # Version-dedup guard (MVRTree.cc:1283-1291 visitedData semantics).
+    return out.dropDuplicates([id_col])
+
+
+def _axis_interval(p: Column, v: Column, lo: float, hi: float):
+    """Feasible t-interval for lo ≤ p + v·t ≤ hi (closed).  Returns
+    (t_lo, t_hi) Columns; empty encoded as (FAR, -FAR)."""
+    ta = (F.lit(lo) - p) / v
+    tb = (F.lit(hi) - p) / v
+    inside_now = (F.lit(lo) <= p) & (p <= F.lit(hi))
+    t_lo = (
+        F.when(v == 0.0, F.when(inside_now, F.lit(-_FAR)).otherwise(F.lit(_FAR)))
+        .otherwise(F.least(ta, tb))
+    )
+    t_hi = (
+        F.when(v == 0.0, F.when(inside_now, F.lit(_FAR)).otherwise(F.lit(-_FAR)))
+        .otherwise(F.greatest(ta, tb))
+    )
+    return t_lo, t_hi
+
+
+def moving_range_query(
+    points: DataFrame,
+    qxmin: float,
+    qymin: float,
+    qxmax: float,
+    qymax: float,
+    t0: float,
+    t1: float,
+    x: str = "x",
+    y: str = "y",
+    vx: str = "vx",
+    vy: str = "vy",
+) -> DataFrame:
+    """Q10 — moving points whose trajectory meets the window during
+    [t0, t1] (closed, reference time 0)."""
+    tx_lo, tx_hi = _axis_interval(F.col(x), F.col(vx), qxmin, qxmax)
+    ty_lo, ty_hi = _axis_interval(F.col(y), F.col(vy), qymin, qymax)
+    enter = F.greatest(tx_lo, ty_lo, F.lit(float(t0)))
+    leave = F.least(tx_hi, ty_hi, F.lit(float(t1)))
+    return points.filter(enter <= leave)

@@ -1,0 +1,138 @@
+"""The north-rule flagship pipeline: spatial join + tiling over images.
+
+ingest (image+caption rows) → geocode/curve key → [optional stored index]
+→ point-in-polygon join against a polygon layer → tile assignment →
+per-tile re-encode (fidelity-gated) → metrics.
+
+Every stage is DataFrame-native; the only Python stages are the Arrow-
+batched codecs (generation + re-encode).  Shuffle budget of the whole
+pipeline: **one** optional range shuffle for the index build and **zero**
+shuffles in join+tiling when the polygon layer broadcasts (the common
+case: vector layers are small next to 10^12 images)."""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from libspatialindex_spark.config import EngineConfig
+from libspatialindex_spark.operators import spatial_join, tiling
+from libspatialindex_spark.operators.relation import BoxCols
+from libspatialindex_spark.sources import images as imgsrc
+
+POLY_BOX = BoxCols("pxmin", "pymin", "pxmax", "pymax")
+
+
+@dataclass
+class PipelineResult:
+    n_images: int
+    n_join_rows: int
+    n_tiles: int
+    out_bytes: int
+    seconds: float
+
+    @property
+    def images_per_sec(self) -> float:
+        return self.n_images / self.seconds if self.seconds else float("inf")
+
+
+def join_and_tile(
+    images: DataFrame,
+    polys: DataFrame,
+    conf: EngineConfig,
+    broadcast_polys: bool = True,
+    salt: int | None = None,
+    reencode_fmt: str | None = None,
+) -> DataFrame:
+    """The core dataflow (lazy — callers decide the action)."""
+    joined = spatial_join.point_in_box_join(
+        images, polys, "x", "y", POLY_BOX, conf,
+        broadcast_boxes=broadcast_polys, salt=salt,
+    )
+    tiled = tiling.assign_tiles(joined, conf)
+    return tiling.reencode(tiled, out_fmt=reencode_fmt)
+
+
+def materialize_images(
+    spark: SparkSession,
+    n_images: int,
+    path: str,
+    skewness: float = 2.0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """One-time ingest: write the deterministic image table to parquet.
+
+    In production the image table already sits in Iceberg/parquet — the
+    steady-state pipeline is measured from storage, not from the synthetic
+    generator (which is a *source*, and a Python-heavy one: timing it would
+    measure the fixture, not the engine)."""
+    import os
+
+    if not os.path.isdir(path):
+        imgsrc.generate_images(
+            spark, n_images, skewness=skewness, partitions=partitions
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def run_on(
+    images: DataFrame,
+    polys: DataFrame,
+    conf: EngineConfig | None = None,
+    n_images: int | None = None,
+    broadcast_polys: bool = True,
+    salt: int | None = None,
+) -> PipelineResult:
+    """Timed steady-state pipeline over a materialized image table:
+    scan → PiP join → tile assign → re-encode → metrics aggregate."""
+    conf = conf or EngineConfig()
+    t0 = time.time()
+    out = join_and_tile(
+        images, polys, conf, broadcast_polys=broadcast_polys, salt=salt
+    )
+    agg = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.approx_count_distinct("tile_id").alias("tiles"),
+        F.sum(F.length("bytes")).alias("nbytes"),
+    ).collect()[0]
+    dt = time.time() - t0
+    return PipelineResult(
+        n_images=n_images if n_images is not None else images.count(),
+        n_join_rows=agg["rows"],
+        n_tiles=agg["tiles"],
+        out_bytes=agg["nbytes"] or 0,
+        seconds=dt,
+    )
+
+
+def run(
+    spark: SparkSession,
+    n_images: int,
+    polys: DataFrame,
+    conf: EngineConfig | None = None,
+    skewness: float = 2.0,
+    broadcast_polys: bool = True,
+    salt: int | None = None,
+    partitions: int | None = None,
+) -> PipelineResult:
+    """Generate-inline variant (generation Python stage inside the timed
+    path — use :func:`run_on` for steady-state measurements)."""
+    conf = conf or EngineConfig()
+    t0 = time.time()
+    imgs = imgsrc.generate_images(
+        spark, n_images, skewness=skewness, partitions=partitions
+    )
+    res = run_on(
+        imgs, polys, conf, n_images=n_images,
+        broadcast_polys=broadcast_polys, salt=salt,
+    )
+    return PipelineResult(
+        n_images=n_images,
+        n_join_rows=res.n_join_rows,
+        n_tiles=res.n_tiles,
+        out_bytes=res.out_bytes,
+        seconds=time.time() - t0,
+    )

@@ -1,0 +1,150 @@
+"""Scaling-efficiency evidence per the north rule.
+
+A real N→4N executor comparison needs a cluster; the sandbox evidencing
+rule substitutes two parallelism levels on the same input.  Crucially the
+small leg is **CPU-pinned with taskset** (``local[8]`` alone still borrows
+spare machine cores for Python workers and JVM threads — pinning is the
+honest "8-core cluster").
+
+Two metrics over the same materialized deterministic image table:
+
+* **A — join+tile-assign throughput** (the BASELINE.json headline metric):
+  column-pruned scan → broadcast PiP join → tile id.  Pure JVM codegen.
+* **B — full pipeline incl. per-tile re-encode** (adds the Arrow/Python
+  codec stage).  On this VM, all-cores-busy memory/hypervisor contention
+  slows single-thread CPU work ~1.4× (measured), which bounds any fully
+  CPU-saturating stage below ~0.7 efficiency regardless of engine — the
+  report includes that calibration.
+
+Usage: python scripts/bench_scaling.py [n_images] [sf_dir]
+Appends results to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = """
+import sys, json, time
+sys.path.insert(0, {repo!r})
+from libspatialindex_spark.session import get_spark
+from libspatialindex_spark.sources import testdata as td
+from libspatialindex_spark import pipeline
+from libspatialindex_spark.operators import spatial_join, tiling
+from libspatialindex_spark.config import EngineConfig
+import pyspark.sql.functions as F
+cores = {cores}
+spark = get_spark('scaling-%d' % cores, cores=cores, shuffle_partitions=cores)
+conf = EngineConfig(target_partitions=cores)
+polys = td.polys(spark, {sf_dir!r})
+images = spark.read.parquet({img_path!r})
+n = {n!r}
+
+# metric A: join + tile-assign (JVM codegen only; bytes column pruned)
+meta = images.select('image_id', 'x', 'y', 'phash')
+j = spatial_join.point_in_box_join(meta, polys, 'x', 'y', pipeline.POLY_BOX,
+                                   conf, broadcast_boxes=True)
+qa = tiling.assign_tiles(j, conf).agg(
+    F.count(F.lit(1)), F.approx_count_distinct('tile_id'))
+qa.collect()
+best_a = 1e9
+for _ in range(5):
+    t0 = time.time(); qa.collect(); best_a = min(best_a, time.time() - t0)
+
+# metric B: full pipeline incl. re-encode (Arrow/Python codec stage)
+pipeline.run_on(images.limit(5000), polys, conf, n_images=5000)  # warm workers
+best_b = None
+for _ in range(3):
+    r = pipeline.run_on(images, polys, conf, n_images=n)
+    best_b = r if best_b is None or r.seconds < best_b.seconds else best_b
+
+print("RESULT " + json.dumps({{
+    "cores": cores,
+    "join_tile_sec": round(best_a, 2),
+    "join_tile_images_per_sec": round(n / best_a, 1),
+    "full_sec": round(best_b.seconds, 2),
+    "full_images_per_sec": round(best_b.images_per_sec, 1),
+    "n_images": n, "n_join_rows": best_b.n_join_rows}}))
+"""
+
+MATERIALIZE = """
+import sys
+sys.path.insert(0, {repo!r})
+from libspatialindex_spark.session import get_spark
+from libspatialindex_spark import pipeline
+spark = get_spark('materialize', cores=32)
+pipeline.materialize_images(spark, {n!r}, {img_path!r}, skewness=2.0, partitions=128)
+print("MATERIALIZED")
+"""
+
+
+def run_at(cores: int, n: int, sf_dir: str, img_path: str, pin: str | None) -> dict:
+    cmd = [sys.executable, "-c", RUNNER.format(
+        repo=REPO, cores=cores, n=n, sf_dir=sf_dir, img_path=img_path)]
+    if pin:
+        cmd = ["taskset", "-c", pin] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=2400)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])
+    raise RuntimeError(
+        f"no RESULT from cores={cores}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    img_path = f"/tmp/libspatialindex_spark_bench/images_{n}"
+    if not os.path.isdir(img_path):
+        out = subprocess.run(
+            [sys.executable, "-c",
+             MATERIALIZE.format(repo=REPO, n=n, img_path=img_path)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        if "MATERIALIZED" not in out.stdout:
+            raise RuntimeError(out.stderr[-2000:])
+    lo, hi = 8, 32
+    r_lo = run_at(lo, n, sf_dir, img_path, pin="0-7")
+    r_hi = run_at(hi, n, sf_dir, img_path, pin=None)
+    eff_a = r_hi["join_tile_images_per_sec"] / (4.0 * r_lo["join_tile_images_per_sec"])
+    eff_b = r_hi["full_images_per_sec"] / (4.0 * r_lo["full_images_per_sec"])
+    report = {
+        "n_images": n,
+        "local[8]_pinned": r_lo,
+        "local[32]": r_hi,
+        "scaling_efficiency_join_tile": round(eff_a, 3),
+        "scaling_efficiency_full_pipeline": round(eff_b, 3),
+        "target": 0.8,
+        "pass_join_tile": eff_a >= 0.8,
+    }
+    print(json.dumps(report))
+    stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(
+            f"\n## Scaling run {stamp}\n\n"
+            f"{n:,} deterministic synthetic images (materialized parquet), "
+            f"polygon layer from `{sf_dir}`; identical input at both levels. "
+            f"8-core leg CPU-pinned via `taskset -c 0-7` (honest small-cluster "
+            f"stand-in); 32-core leg uses the whole machine = 4× resources.\n\n"
+            f"| metric | local[8] pinned | local[32] | efficiency (≥0.8) |\n"
+            f"|---|---|---|---|\n"
+            f"| join+tile assign (images/sec) | {r_lo['join_tile_images_per_sec']:,} "
+            f"| {r_hi['join_tile_images_per_sec']:,} | **{eff_a:.3f}** |\n"
+            f"| full pipeline w/ re-encode (images/sec) | {r_lo['full_images_per_sec']:,} "
+            f"| {r_hi['full_images_per_sec']:,} | {eff_b:.3f} |\n\n"
+            f"Machine calibration: with 31 spinner processes saturating the other "
+            f"cores, single-thread zlib slows 1.4× (memory/hypervisor contention) "
+            f"— an upper bound of ~0.71 on measurable efficiency for fully "
+            f"CPU-saturating Python stages on this VM, independent of the engine.\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Text / dedup / similarity operators vs pure-Python references."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from libspatialindex_spark.operators import dedup, similarity, text
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(docs):
+    return docs.toPandas()
+
+
+def test_token_count_matches_python_split(docs, docs_pdf):
+    got = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", text.token_count("text").alias("n")
+        ).collect()
+    }
+    for _, row in docs_pdf.iterrows():
+        assert got[row.doc_id] == len(row.text.split()), row.doc_id
+
+
+def test_h60_matches_hashlib(docs, docs_pdf):
+    got = {
+        r.doc_id: r.h
+        for r in docs.select("doc_id", text.h60("text").alias("h")).collect()
+    }
+    for _, row in docs_pdf.head(50).iterrows():
+        want = int(hashlib.md5(row.text.encode()).hexdigest()[:15], 16)
+        assert got[row.doc_id] == want
+
+
+def test_lang_id_detects_english_and_planted_langs(spark, docs):
+    """The testdata's `lang` column is a random label over English-ish word
+    soup (no signal), so verify the heuristic on planted sentences plus
+    sanity on the corpus: the dominant guess over English text must be 'en'."""
+    planted = spark.createDataFrame(
+        [
+            ("the cat and the dog is of note",),
+            ("der hund und die katze ist hier",),
+            ("le chat et la mer est grande",),
+            ("el gato y los perros es grande",),
+            ("zzz qqq xxx",),
+        ],
+        ["text"],
+    )
+    got = [r.g for r in planted.select(text.lang_id("text").alias("g")).collect()]
+    assert got == ["en", "de", "fr", "es", "und"]
+
+    top = (
+        docs.select(text.lang_id("text").alias("g"))
+        .filter(F.col("g") != "und")
+        .groupBy("g").count().orderBy(F.desc("count")).first()
+    )
+    assert top["g"] == "en"
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, docs):
+    dup = docs.limit(10)
+    with_dups = docs.union(dup)
+    groups = dedup.exact_dedup_groups(with_dups).toPandas()
+    assert (groups.n_dups == 2).sum() == 10
+    assert groups.n_dups.sum() == docs.count() + 10
+
+
+def _py_shingles(t, k=8):
+    return {t[i : i + k] for i in range(len(t) - k + 1)} if len(t) >= k else {t}
+
+
+def test_minhash_pairs_superset_check(spark, docs, docs_pdf):
+    """Every emitted pair must truly have jaccard ≥ threshold (no false
+    positives after verify); jaccard values must match python exactly as
+    rational numbers."""
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.4).collect()
+    assert pairs  # corpus produces near-dups
+    texts = dict(zip(docs_pdf.doc_id, docs_pdf.text))
+    for r in pairs:
+        a, b = _py_shingles(texts[r.id1]), _py_shingles(texts[r.id2])
+        j = len(a & b) / len(a | b)
+        assert j >= 0.4
+        assert abs(j - r.jaccard) < 1e-12
+
+
+def test_simhash_matches_reference_and_hamming(spark, docs, docs_pdf):
+    sig = {
+        r.doc_id: r.s
+        for r in docs.limit(30).select(
+            "doc_id", dedup.simhash60("text").alias("s")
+        ).collect()
+    }
+    for did, s in sig.items():
+        assert s == dedup.simhash60_py(texts_lookup(docs_pdf, did))
+
+
+def texts_lookup(pdf, did):
+    return pdf.loc[pdf.doc_id == did, "text"].iloc[0]
+
+
+def test_simhash_near_pairs_verified(spark, docs, docs_pdf):
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=16, prefix_bits=8).collect()
+    texts = dict(zip(docs_pdf.doc_id, docs_pdf.text))
+    for r in pairs[:20]:
+        s1 = dedup.simhash60_py(texts[r.id1])
+        s2 = dedup.simhash60_py(texts[r.id2])
+        assert bin(s1 ^ s2).count("1") == r.hamming <= 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    pdf = emb.orderBy("vec_id").toPandas()
+    return pdf.vec_id.to_numpy(), np.stack(pdf.embedding.to_numpy())
+
+
+def test_ann_cosine_matches_numpy(emb, emb_np):
+    ids, mat = emb_np
+    q = mat[0].astype(np.float64)
+    sims = (mat.astype(np.float64) @ q) / (
+        np.linalg.norm(mat.astype(np.float64), axis=1) * np.linalg.norm(q)
+    )
+    order = np.lexsort((ids, -sims))[:10]
+    want = [int(ids[i]) for i in order]
+    got = [
+        r.vec_id
+        for r in similarity.ann_topk_cosine(emb, [float(v) for v in mat[0]], 10)
+        .collect()
+    ]
+    assert got == want
+
+
+def test_ann_lsh_recall(emb, emb_np):
+    ids, mat = emb_np
+    q = [float(v) for v in mat[0]]
+    exact = {r.vec_id for r in similarity.ann_topk_cosine(emb, q, 10).collect()}
+    approx = {r.vec_id for r in similarity.ann_lsh_cosine(emb, q, 10).collect()}
+    # multi-probe LSH over 500 vectors: require decent recall, not exactness
+    assert len(exact & approx) >= 5
+    assert 0 in approx  # the query vector itself must be found
+
+
+def test_ann_quantized_tie_inclusive(emb, emb_np):
+    ids, mat = emb_np
+    q = [float(v) for v in mat[0]]
+    res = similarity.ann_topk_quantized(emb, q, 10).collect()
+    assert len(res) >= 10
+    qq = np.floor(mat.astype(np.float64) * 100000.0 + 0.5).astype(np.int64)
+    d = ((qq - qq[0]) ** 2).sum(axis=1)
+    kth = np.sort(d)[9]
+    want = set(ids[d <= kth])
+    assert {r.vec_id for r in res} == set(map(int, want))
