@@ -113,6 +113,12 @@ def q08_key_range(spark, sf_dir):
     )
 
 
+def q11_internal_nodes(spark, sf_dir):
+    """Q6 analog: subtree-granular containment — (node_cell, id) pairs."""
+    rel = _rects_rel(spark, sf_dir)
+    return range_query.internal_nodes_query(rel, *W, bits=8)
+
+
 TQ = (200.0, 260.0)  # Q9 time interval [t0, t1)
 MQ = (0.0, 512.0)  # Q10 query time interval [t0, t1]
 
@@ -251,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_bounds": q06_bounds,
         "q07_count_range": q07_count_range,
         "q08_key_range": q08_key_range,
+        "q11_internal_nodes": q11_internal_nodes,
         "q09_time_range": q09_time_range,
         "q10_moving_range": q10_moving_range,
         "q20_pip_join": q20_pip_join,
@@ -452,6 +459,15 @@ def oracle_sql() -> dict[str, str]:
               FROM rects
             )
             SELECT id, gkey FROM keyed WHERE gkey BETWEEN {GK_LO} AND {GK_HI}
+        """,
+        "q11_internal_nodes": f"""
+            WITH rects AS ({_R})
+            SELECT CAST(FLOOR(xmin * 256.0) AS BIGINT) * 256
+                     + CAST(FLOOR(ymin * 256.0) AS BIGINT) AS node_cell,
+                   id
+            FROM rects
+            WHERE {W[0]} <= xmin AND xmax <= {W[2]}
+              AND {W[1]} <= ymin AND ymax <= {W[3]}
         """,
         "q09_time_range": f"""
             WITH rt AS ({td.RECTS_T_SQL.strip()})

@@ -44,9 +44,16 @@ def main() -> None:
         queries[name] = round(time.time() - t0, 3)
 
     polys = td.polys(spark, sf_dir)
-    res = pipeline.run(
-        spark, n_images, polys, conf, skewness=2.0, partitions=cpus * 2
+    images = pipeline.materialize_images(
+        spark, n_images, f"/tmp/libspatialindex_spark_bench/images_{n_images}",
+        skewness=2.0, partitions=cpus * 2,
     )
+    # steady-state: scan -> broadcast PiP join -> tile assign -> re-encode
+    pipeline.run_on(images.limit(2000), polys, conf, n_images=2000)  # warm
+    res = None
+    for _ in range(2):
+        r = pipeline.run_on(images, polys, conf, n_images=n_images)
+        res = r if res is None or r.seconds < res.seconds else res
 
     print(
         json.dumps(

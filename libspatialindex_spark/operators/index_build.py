@@ -90,17 +90,29 @@ class StoredIndex:
             bucket_shift=self.bucket_shift,
         )
 
+    def manifest_totals(self) -> DataFrame:
+        """Per-bucket totals (a bucket may have several manifest rows after
+        incremental inserts — totals are the roll-up)."""
+        return self.manifest().groupBy("bucket").agg(
+            F.min("zmin").alias("zmin"),
+            F.max("zmax").alias("zmax"),
+            F.min("xmin").alias("xmin"),
+            F.min("ymin").alias("ymin"),
+            F.max("xmax").alias("xmax"),
+            F.max("ymax").alias("ymax"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+
     def validate(self) -> bool:
         """``isIndexValid()`` analog (``SpatialIndex.h:209``): recompute
-        per-bucket aggregates from data and diff against the manifest."""
+        per-bucket aggregates from data and diff against manifest totals."""
+        cols = ["bucket", "zmin", "zmax", "xmin", "ymin", "xmax", "ymax", "n_rows"]
         got = M.manifest_for(
             self.spark.read.parquet(self.data_path), build_id="check"
-        )
-        want = self.manifest()
-        cols = ["bucket", "zmin", "zmax", "xmin", "ymin", "xmax", "ymax", "n_rows"]
+        ).select(cols)
+        want = self.manifest_totals().select(cols)
         diff = (
-            got.select(cols).exceptAll(want.select(cols)).count()
-            + want.select(cols).exceptAll(got.select(cols)).count()
+            got.exceptAll(want).count() + want.exceptAll(got).count()
         )
         return diff == 0
 

@@ -1,0 +1,154 @@
+"""Multimodal column operators: decode / feature-extract / resize /
+frame-sample over opaque ``binary`` payloads with typed metadata.
+
+The Spark-side plumbing — schemas, Arrow batch shapes, partitioning, UDF
+signatures — is real and tested.  Heavy media codecs are not in this
+container, so per the build brief:
+
+* **image**: REAL — the pure-Python PNG/fake-JPEG codecs
+  (``sources/png.py``) back decode/resize/feature extraction;
+* **audio / video**: STUBBED — ``NotImplementedError`` behind the same
+  batch interface, plus a deterministic fake frame-sampler for ``video/x-
+  fake`` payloads so the plumbing is exercised end to end.
+
+All operators are ``mapInPandas`` stages: Arrow-batched, no per-row Python
+round trips through the JVM, schema declared up front so Catalyst can
+prune/plan around them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from libspatialindex_spark.sources import png as codec
+
+FEATURE_SCHEMA = (
+    "image_id string, mean_r double, mean_g double, mean_b double, "
+    "contrast double, ahash long"
+)
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Decode → per-channel means, contrast, average-hash.  Input needs
+    (image_id, bytes, fmt)."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from libspatialindex_spark.sources.images import average_hash
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("image_id", "mean_r", "mean_g", "mean_b", "contrast", "ahash")}
+            for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = codec.decode(bytes(data), fmt).astype(np.float64)
+                out["image_id"].append(iid)
+                out["mean_r"].append(px[..., 0].mean())
+                out["mean_g"].append(px[..., 1].mean())
+                out["mean_b"].append(px[..., 2].mean())
+                out["contrast"].append(px.std())
+                out["ahash"].append(average_hash(px.astype(np.uint8)))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        work, FEATURE_SCHEMA
+    )
+
+
+def image_resize(images: DataFrame, size: int = 8) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode PNG.  Schema preserved
+    except (bytes, w, h, fmt)."""
+    schema = images.schema
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nb, nw, nh, nf = [], [], [], []
+            for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                px = codec.decode(bytes(data), fmt)
+                h, w, _ = px.shape
+                yi = (np.arange(size) * h // size).clip(0, h - 1)
+                xi = (np.arange(size) * w // size).clip(0, w - 1)
+                small = px[yi][:, xi]
+                nb.append(codec.png_encode(small))
+                nw.append(size)
+                nh.append(size)
+                nf.append("png")
+            pdf = pdf.copy()
+            pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"] = nb, nw, nh, nf
+            yield pdf
+
+    return images.mapInPandas(work, schema)
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """STUB — audio decoding needs a codec library not present here.
+    The operator shape (schema in/out, Arrow batching) is the real
+    contract; swap the body for librosa/ffmpeg on a full cluster."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "audio decode requires an audio codec library (not in this "
+            "container); plumbing contract: input (clip_id string, bytes "
+            "binary, codec string) -> output (clip_id string, duration "
+            "double, rms double)"
+        )
+        yield  # pragma: no cover
+
+    return audio.select("clip_id", "bytes", "codec").mapInPandas(
+        work, "clip_id string, duration double, rms double"
+    )
+
+
+_FAKE_VIDEO_MAGIC = b"FAKEVID0"
+
+
+def fake_video_encode(frames: np.ndarray) -> bytes:
+    """Deterministic fake video container: concatenated PNG frames with an
+    index — exists so frame-sampling plumbing is testable without ffmpeg."""
+    import struct
+
+    blobs = [codec.png_encode(f) for f in frames]
+    head = struct.pack(">I", len(blobs)) + b"".join(
+        struct.pack(">I", len(b)) for b in blobs
+    )
+    return _FAKE_VIDEO_MAGIC + head + b"".join(blobs)
+
+
+def video_frame_sample(video: DataFrame, every: int = 2) -> DataFrame:
+    """Sample every ``every``-th frame from fake-video payloads → one row
+    per sampled frame with the frame re-encoded as PNG.  Real codecs raise
+    (stub), fake container decodes for real."""
+    import struct
+
+    out_schema = "video_id string, frame_idx int, bytes binary"
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids, idxs, blobs = [], [], []
+            for vid, data, fmt in zip(pdf["video_id"], pdf["bytes"], pdf["fmt"]):
+                raw = bytes(data)
+                if fmt != "x-fake" or raw[:8] != _FAKE_VIDEO_MAGIC:
+                    raise NotImplementedError(
+                        "real video codecs unavailable in this container"
+                    )
+                (n,) = struct.unpack(">I", raw[8:12])
+                lens = [
+                    struct.unpack(">I", raw[12 + 4 * i : 16 + 4 * i])[0]
+                    for i in range(n)
+                ]
+                off = 12 + 4 * n
+                for i in range(0, n, every):
+                    start = off + sum(lens[:i])
+                    vids.append(vid)
+                    idxs.append(i)
+                    blobs.append(raw[start : start + lens[i]])
+            yield pd.DataFrame(
+                {"video_id": vids, "frame_idx": np.array(idxs, np.int32),
+                 "bytes": blobs}
+            )
+
+    return video.select("video_id", "bytes", "fmt").mapInPandas(
+        work, out_schema
+    )

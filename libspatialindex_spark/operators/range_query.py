@@ -101,6 +101,34 @@ def count_contains(rel, qxmin, qymin, qxmax, qymax) -> DataFrame:
     )
 
 
+def internal_nodes_query(
+    rel: SpatialRelation,
+    qxmin: float,
+    qymin: float,
+    qxmax: float,
+    qymax: float,
+    id_col: str = "id",
+    bits: int = 8,
+) -> DataFrame:
+    """Q6 — subtree-granular containment (``RTree.cc:611-673``): the
+    reference emits whole subtrees whose node MBR the query contains, plus
+    contained leaf children at the boundary.  Distributed analog: group
+    contained entries by their grid cell ("node") and emit (cell, id); a
+    cell fully inside the window short-circuits the exact predicate
+    (``RTree.cc:705-708``), boundary cells re-check per entry.  The union
+    is exactly Q2's result keyed by cell."""
+    from libspatialindex_spark.functions.curves import cell_id
+
+    b = rel.box
+    cx = F.col(b.xmin)
+    cy = F.col(b.ymin)
+    contained = contains_what_query(rel, qxmin, qymin, qxmax, qymax)
+    return contained.select(
+        cell_id(cx, cy, rel.conf, bits=bits).alias("node_cell"),
+        F.col(id_col),
+    )
+
+
 def with_offset_limit(
     df: DataFrame, order_by: str, offset: int = 0, limit: int | None = None
 ) -> DataFrame:

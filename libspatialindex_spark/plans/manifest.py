@@ -49,7 +49,9 @@ def manifest_for(
     nbytes = (
         F.sum(F.length(F.col(bytes_col))) if bytes_col else F.lit(0)
     ).cast("long")
-    return df.groupBy(F.col(bucket_col).alias("bucket")).agg(
+    # Cast: a re-read bucket is a partition-dir column (int32) while a
+    # pre-write bucket is int64 — normalize so manifest files never mix.
+    return df.groupBy(F.col(bucket_col).cast("long").alias("bucket")).agg(
         F.min(z_col).alias("zmin"),
         F.max(z_col).alias("zmax"),
         F.min(xmin).alias("xmin"),

@@ -1,0 +1,63 @@
+"""Structured-Streaming ingest into the stored spatial index.
+
+The reference's only "stream" is the bulk-load pull iterator
+(``IDataStream``, ``SpatialIndex.h:134-139``) — batch, not streaming.
+This module goes beyond it: a parquet-directory stream of new entries is
+folded into an existing StoredIndex via ``foreachBatch`` → the M1 insert
+path (``operators/mutations.insert_batch``), giving exactly-once,
+bucket-local incremental indexing with per-batch manifest lineage
+(build_id = ``stream-<epoch>``), checkpointed by Spark's streaming commit
+log.
+
+At scale this is the standing ingestion job: micro-batches append into
+bucket dirs; readers always see a manifest-consistent index because the
+manifest append is the last step of each batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from libspatialindex_spark.operators.index_build import StoredIndex
+from libspatialindex_spark.operators.mutations import insert_batch
+from libspatialindex_spark.operators.relation import BoxCols
+
+
+def stream_into_index(
+    spark: SparkSession,
+    source_dir: str,
+    idx: StoredIndex,
+    schema: str,
+    checkpoint_dir: str,
+    box: BoxCols | None = None,
+    bytes_col: str | None = None,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Start a file-source stream that inserts every micro-batch into
+    ``idx``.  ``trigger_once=True`` drains what's present and stops
+    (test/backfill mode)."""
+
+    def sink(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        insert_batch(
+            idx,
+            batch_df,
+            box=box,
+            bytes_col=bytes_col,
+            build_id=f"stream-{epoch_id}",
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

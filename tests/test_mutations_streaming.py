@@ -1,0 +1,101 @@
+"""M1 insert / M2 delete on a stored index + streaming ingest + stats."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from libspatialindex_spark.operators import index_build, mutations, range_query
+from libspatialindex_spark.plans import stats
+from libspatialindex_spark.sources import testdata as td
+from tests.conftest import SF_DIR
+
+W = (0.2, 0.2, 0.6, 0.6)
+
+
+@pytest.fixture()
+def built(spark, conf, tmp_path):
+    df = td.rects(spark, SF_DIR)
+    head = df.filter(F.col("id") % 3 != 0)
+    tail = df.filter(F.col("id") % 3 == 0)
+    idx = index_build.build_index(head, str(tmp_path / "idx"), conf)
+    return idx, head, tail, df
+
+
+def test_insert_batch_then_query_sees_all(built, conf):
+    idx, head, tail, full = built
+    mutations.insert_batch(idx, tail, build_id="ins-1")
+    assert idx.validate()
+    got = {
+        r.id for r in range_query.intersects_query(idx.relation(), *W).collect()
+    }
+    from libspatialindex_spark.operators.relation import SpatialRelation
+
+    want = {
+        r.id
+        for r in range_query.intersects_query(
+            SpatialRelation(full, conf, max_extent=(td.MAX_EXTENT,) * 2), *W
+        ).collect()
+    }
+    assert got == want
+    # lineage: both build ids present
+    builds = {r.build_id for r in idx.manifest().select("build_id").distinct().collect()}
+    assert builds == {"build-1", "ins-1"}
+
+
+def test_delete_rows_removes_only_victims(built, conf):
+    idx, head, tail, full = built
+    victims = head.select("id").limit(200)
+    victim_ids = {r.id for r in victims.collect()}
+    mutations.delete_rows(idx, idx.spark.createDataFrame(
+        [(i,) for i in victim_ids], ["id"]
+    ))
+    assert idx.validate()
+    rel = idx.relation()
+    left = {r.id for r in rel.df.select("id").collect()}
+    assert left == {r.id for r in head.select("id").collect()} - victim_ids
+
+
+def test_index_statistics_shape(built):
+    idx, *_ = built
+    s = stats.index_statistics(idx)
+    assert s["tree_height"] == 2
+    assert s["n_data_rows"] == idx.manifest_totals().agg(
+        F.sum("n_rows")
+    ).collect()[0][0]
+    assert 0 < s["utilization"] <= 1.0
+
+
+def test_streaming_ingest_available_now(spark, conf, tmp_path):
+    from libspatialindex_spark.streaming.ingest import stream_into_index
+
+    df = td.rects(spark, SF_DIR)
+    first = df.filter(F.col("id") % 2 == 0)
+    later = df.filter(F.col("id") % 2 != 0)
+    idx = index_build.build_index(first, str(tmp_path / "idx"), conf)
+
+    src = str(tmp_path / "incoming")
+    later.repartition(4).write.mode("overwrite").parquet(src)
+    schema = "id long, xmin double, ymin double, xmax double, ymax double"
+    q = stream_into_index(
+        spark, src, idx, schema, str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    assert idx.validate()
+    total = idx.manifest_totals().agg(F.sum("n_rows")).collect()[0][0]
+    assert total == df.count()
+    builds = {
+        r.build_id for r in idx.manifest().select("build_id").distinct().collect()
+    }
+    assert any(b.startswith("stream-") for b in builds)
+
+
+def test_latency_recorder(built):
+    idx, *_ = built
+    rec = stats.LatencyRecorder()
+    rel = idx.relation()
+    rec.timed("w1", range_query.intersects_query(rel, *W))
+    rec.timed("w2", range_query.intersects_query(rel, 0.0, 0.0, 0.1, 0.1))
+    rep = rec.percentiles()
+    assert rep["n"] == 2 and rep["p100_sec"] >= rep["p1_sec"] >= 0
