@@ -1,49 +1,59 @@
-"""Distributed index build — the STR / SFC bulk-load analog (SURVEY.md §2.3).
+"""Distributed index build — the bulk-load family (SURVEY.md §2.3).
 
 Reference: ``src/rtree/BulkLoader.cc`` sorts all entries (external merge
 sort with spill, ``:119-326``), packs leaves, and builds upper levels until
-a single root (``:328-387``).  The SFC variant consumes entries in
-pre-sorted curve order (``:392-453``).
-
-Spark-first shape — each reference stage maps to a built-in:
+a single root (``:328-387``).  Spark-first mapping:
 
 ====================  =====================================================
 reference             here
 ====================  =====================================================
 external merge sort   ``repartitionByRange(z)`` shuffle (spill built-in)
 leaf packing          ``sortWithinPartitions(z)`` + parquet row groups
-upper tree levels     quadtree-aligned **bucket** directories + manifest
+upper tree levels     **bucket** directories + per-bucket manifest MBRs
 root / header page    ``boundaries.json`` + manifest table on the driver
 ====================  =====================================================
 
-Buckets are Z-prefix (quadtree-block) aligned: ``bucket = z >> shift``.
-Every bucket is a contiguous Z range ⇒ directory-level partition pruning
-composes exactly with the quadtree query cover.  Buckets are deterministic
-(no sampling), which makes the build **resumable at bucket granularity**: a
-bucket is committed iff its manifest row exists; a re-run plans only the
-missing buckets and sweeps stale data from a crashed attempt.
+Three global partitioners, mirroring the reference's bulk-load variants:
 
-At 100 TB: buckets ≈ 4× executor count keeps every reducer busy; hot
-quadtree blocks simply hold more files and Spark splits them on read
-(``spark.sql.files.maxPartitionBytes``), so skew degrades smoothly instead
-of stalling a reducer.
+* ``zprefix`` (default) — B1/B2 STR/SFC analog: ``bucket = z >> shift``,
+  quadtree-aligned, deterministic without sampling; composes with the
+  Z-cover for key-range pruning.
+* ``cutlist`` — B3 TGS/PLATON analog (``BulkLoader.cc:569-…``, cut list
+  read at ``:576-582``): explicit Z split points supplied by the caller
+  (e.g. a learned partitioner), ``bucket = #cuts ≤ z``.
+* ``kd`` — B4 KD-tree bulk load analog (``src/kdtree/BulkLoader.cc:327-377``
+  topDownPartitioning): recursive median splits on a driver-side sample,
+  cycling the split dimension per level; leaves become buckets.
+
+Query-time pruning is partitioner-agnostic: the manifest stores each
+bucket's exact data MBR, so the driver intersects the query window with
+bucket MBRs (the "root node" visit) and compiles a ``bucket IN`` partition
+filter; for ``zprefix`` a ``z BETWEEN`` cover disjunction additionally
+prunes parquet row groups inside each bucket.
+
+Builds are **resumable at bucket granularity**: a bucket is committed iff
+its manifest row exists; a re-run plans only missing buckets and sweeps
+crash debris.  At 100 TB: buckets ≈ 4× executor count; hot buckets just
+hold more files and Spark splits them on read, so skew degrades smoothly.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import shutil
-from dataclasses import dataclass, replace
+from dataclasses import dataclass, field
+from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from libspatialindex_spark.config import EngineConfig
 from libspatialindex_spark.functions import curves
 from libspatialindex_spark.operators.relation import BoxCols, SpatialRelation
 from libspatialindex_spark.plans import manifest as M
-from libspatialindex_spark.plans.cover import Cover
 
 
 def _bucket_shift(conf: EngineConfig) -> int:
@@ -53,6 +63,82 @@ def _bucket_shift(conf: EngineConfig) -> int:
     return 2 * (conf.grid_bits - level)
 
 
+# --------------------------------------------------------------- partition --
+
+
+@dataclass
+class PartitionSpec:
+    """Serializable global-partitioner description (the 'root page')."""
+
+    kind: str  # zprefix | cutlist | kd
+    shift: int | None = None
+    cuts: list[int] | None = None
+    kd_tree: list | None = None  # nested [dim, cut, left, right] | leaf int
+
+    def bucket_expr(self, cx: Column, cy: Column, z: Column) -> Column:
+        if self.kind == "zprefix":
+            return F.shiftright(z, self.shift)
+        if self.kind == "cutlist":
+            inds = [ (z > F.lit(int(c))).cast("long") for c in self.cuts ]
+            return reduce(lambda a, b: a + b, inds, F.lit(0).cast("long"))
+        if self.kind == "kd":
+            def walk(node):
+                if isinstance(node, int):
+                    return F.lit(node).cast("long")
+                dim, cut, left, right = node
+                c = cx if dim == 0 else cy
+                return F.when(c <= F.lit(float(cut)), walk(left)).otherwise(
+                    walk(right)
+                )
+            return walk(_tuplify(self.kd_tree))
+        raise ValueError(self.kind)
+
+    def to_json(self) -> dict:
+        return {
+            "kind": self.kind, "shift": self.shift, "cuts": self.cuts,
+            "kd_tree": self.kd_tree,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "PartitionSpec":
+        return PartitionSpec(
+            kind=d["kind"], shift=d.get("shift"), cuts=d.get("cuts"),
+            kd_tree=d.get("kd_tree"),
+        )
+
+
+def _tuplify(node):
+    if isinstance(node, list):
+        return (node[0], node[1], _tuplify(node[2]), _tuplify(node[3]))
+    return node
+
+
+def kd_partition_tree(sample_xy: np.ndarray, levels: int) -> list:
+    """Top-down median partitioning on a sample, cycling split dims
+    (``kdtree/BulkLoader.cc:327-377``; dim cycling at ``:425``)."""
+    counter = [0]
+
+    def build(pts: np.ndarray, depth: int):
+        if depth >= levels or len(pts) < 4:
+            leaf = counter[0]
+            counter[0] += 1
+            return leaf
+        dim = depth % 2
+        cut = float(np.median(pts[:, dim]))
+        left = pts[pts[:, dim] <= cut]
+        right = pts[pts[:, dim] > cut]
+        if len(left) == 0 or len(right) == 0:
+            leaf = counter[0]
+            counter[0] += 1
+            return leaf
+        return [dim, cut, build(left, depth + 1), build(right, depth + 1)]
+
+    return build(sample_xy, 0)
+
+
+# ------------------------------------------------------------------- index --
+
+
 @dataclass
 class StoredIndex:
     """A persisted two-level spatial index (data dirs + manifest)."""
@@ -60,35 +146,21 @@ class StoredIndex:
     spark: SparkSession
     path: str
     conf: EngineConfig
-    bucket_shift: int
+    spec: PartitionSpec
 
     @property
     def data_path(self) -> str:
         return os.path.join(self.path, "data")
+
+    @property
+    def bucket_shift(self) -> int:
+        return self.spec.shift if self.spec.kind == "zprefix" else 0
 
     def manifest(self) -> DataFrame:
         m = M.read_manifest(self.spark, self.path)
         if m is None:
             raise FileNotFoundError(f"no manifest under {self.path}")
         return m
-
-    def relation(self, box: BoxCols | None = None) -> SpatialRelation:
-        """Queryable relation: z + bucket are *materialized* columns, so the
-        cover predicate prunes parquet row groups and bucket dirs."""
-        stats = (
-            self.manifest()
-            .agg(F.max("max_ex").alias("ex"), F.max("max_ey").alias("ey"))
-            .collect()[0]
-        )
-        df = self.spark.read.parquet(self.data_path)
-        return StoredRelation(
-            df=df,
-            conf=self.conf,
-            box=box or BoxCols(),
-            z_col="z",
-            max_extent=(stats["ex"] or 0.0, stats["ey"] or 0.0),
-            bucket_shift=self.bucket_shift,
-        )
 
     def manifest_totals(self) -> DataFrame:
         """Per-bucket totals (a bucket may have several manifest rows after
@@ -103,6 +175,39 @@ class StoredIndex:
             F.sum("n_rows").alias("n_rows"),
         )
 
+    def keyed(self, df: DataFrame, box: BoxCols | None = None) -> DataFrame:
+        """Attach z + bucket columns per this index's partitioner."""
+        box = box or BoxCols()
+        cx = (F.col(box.xmin) + F.col(box.xmax)) / 2
+        cy = (F.col(box.ymin) + F.col(box.ymax)) / 2
+        z = curves.z_key(cx, cy, self.conf)
+        out = df.withColumn("z", z)
+        return out.withColumn(
+            "bucket", self.spec.bucket_expr(cx, cy, F.col("z"))
+        )
+
+    def relation(self, box: BoxCols | None = None) -> "StoredRelation":
+        """Queryable relation with driver-side manifest-MBR pruning plus
+        (zprefix) pushed z-range row-group pruning."""
+        totals = self.manifest_totals().collect()
+        boxes = [
+            (r["bucket"], r["xmin"], r["ymin"], r["xmax"], r["ymax"])
+            for r in totals
+        ]
+        exts = self.manifest().agg(
+            F.max("max_ex").alias("ex"), F.max("max_ey").alias("ey")
+        ).collect()[0]
+        df = self.spark.read.parquet(self.data_path)
+        return StoredRelation(
+            df=df,
+            conf=self.conf,
+            box=box or BoxCols(),
+            z_col="z",
+            max_extent=(exts["ex"] or 0.0, exts["ey"] or 0.0),
+            bucket_shift=self.spec.shift if self.spec.kind == "zprefix" else None,
+            bucket_boxes=boxes,
+        )
+
     def validate(self) -> bool:
         """``isIndexValid()`` analog (``SpatialIndex.h:209``): recompute
         per-bucket aggregates from data and diff against manifest totals."""
@@ -111,32 +216,43 @@ class StoredIndex:
             self.spark.read.parquet(self.data_path), build_id="check"
         ).select(cols)
         want = self.manifest_totals().select(cols)
-        diff = (
-            got.exceptAll(want).count() + want.exceptAll(got).count()
-        )
-        return diff == 0
+        return got.exceptAll(want).count() + want.exceptAll(got).count() == 0
 
 
 @dataclass
 class StoredRelation(SpatialRelation):
-    """SpatialRelation over a stored index: adds bucket-directory pruning."""
+    """SpatialRelation over a stored index.
 
-    bucket_shift: int = 0
+    Pruning = driver-side manifest-MBR intersection (→ ``bucket IN``
+    partition filter, works for every partitioner) composed with the
+    Z-cover BETWEEN disjunction (zprefix only, → parquet row-group stats).
+    """
 
-    def pruned(self, cov: Cover) -> DataFrame:
-        pred = self.z_range_predicate(cov)
-        if pred is None:
-            return self.df
-        buckets: set[int] = set()
-        for lo, hi in cov.coalesced(max_ranges=16):
-            b0, b1 = lo >> self.bucket_shift, hi >> self.bucket_shift
-            if b1 - b0 > 4096:  # cover too wide to enumerate — skip dir prune
-                return self.df.filter(pred)
-            buckets.update(range(b0, b1 + 1))
-        # `bucket` is a partition directory column → file-listing-level prune.
-        return self.df.filter(
-            F.col("bucket").isin([*buckets]) & pred
-        )
+    bucket_shift: int | None = None
+    bucket_boxes: list = field(default_factory=list)
+
+    def pruned_for_box(
+        self, qxmin: float, qymin: float, qxmax: float, qymax: float
+    ) -> DataFrame:
+        df = self.df
+        if self.bucket_boxes:
+            hit = [
+                b for b, x0, y0, x1, y1 in self.bucket_boxes
+                if not (x0 > qxmax or x1 < qxmin or y0 > qymax or y1 < qymin)
+            ]
+            if len(hit) == 0:
+                return df.filter(F.lit(False))
+            if len(hit) < len(self.bucket_boxes):
+                df = df.filter(F.col("bucket").isin(hit))
+        if self.bucket_shift is not None and self.max_extent is not None:
+            from libspatialindex_spark.plans.cover import z_cover
+
+            expand = max(self.max_extent)
+            cov = z_cover(qxmin, qymin, qxmax, qymax, self.conf, expand=expand)
+            pred = self.z_range_predicate(cov)
+            if pred is not None:
+                df = df.filter(pred)
+        return df
 
 
 def build_index(
@@ -147,23 +263,49 @@ def build_index(
     bytes_col: str | None = None,
     build_id: str = "build-1",
     resume: bool = False,
+    partitioner: str = "zprefix",
+    cuts: list[int] | None = None,
+    kd_levels: int | None = None,
 ) -> StoredIndex:
     """Bulk-load ``df`` into a stored index at ``path``.
 
-    ``resume=True`` skips buckets already committed to the manifest and
-    removes stale uncommitted bucket directories first (crash cleanup) —
-    partition-granular checkpoint/resume per the north rule.
-    """
+    ``resume=True`` reuses the persisted PartitionSpec, skips committed
+    buckets, and sweeps stale uncommitted bucket dirs (crash cleanup)."""
     spark = df.sparkSession
     box = box or BoxCols()
-    shift = _bucket_shift(conf)
     data_path = os.path.join(path, "data")
 
-    cx = (F.col(box.xmin) + F.col(box.xmax)) / 2
-    cy = (F.col(box.ymin) + F.col(box.ymax)) / 2
-    keyed = df.withColumn("z", curves.z_key(cx, cy, conf)).withColumn(
-        "bucket", F.shiftright(F.col("z"), shift)
-    )
+    spec: PartitionSpec | None = None
+    if resume:
+        spec = _load_spec(path)
+    if spec is None:
+        if partitioner == "zprefix":
+            spec = PartitionSpec("zprefix", shift=_bucket_shift(conf))
+        elif partitioner == "cutlist":
+            if not cuts:
+                raise ValueError("cutlist partitioner needs explicit cuts")
+            spec = PartitionSpec("cutlist", cuts=[int(c) for c in cuts])
+        elif partitioner == "kd":
+            levels = kd_levels or max(
+                2, math.ceil(math.log2(conf.target_partitions))
+            )
+            cx = (F.col(box.xmin) + F.col(box.xmax)) / 2
+            cy = (F.col(box.ymin) + F.col(box.ymax)) / 2
+            sample = (
+                df.select(cx.alias("cx"), cy.alias("cy"))
+                .sample(fraction=min(1.0, conf.sample_fraction * 4), seed=42)
+                .limit(conf.max_sample_rows)
+                .toPandas()
+                .to_numpy()
+            )
+            spec = PartitionSpec(
+                "kd", kd_tree=kd_partition_tree(sample, levels)
+            )
+        else:
+            raise ValueError(partitioner)
+
+    idx = StoredIndex(spark=spark, path=path, conf=conf, spec=spec)
+    keyed = idx.keyed(df, box)
 
     done: set[int] = set()
     if resume:
@@ -174,7 +316,7 @@ def build_index(
     elif os.path.isdir(path):
         shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
-    M.save_boundaries(path, [shift])
+    _save_spec(path, spec)
 
     # The "external sort": one range shuffle on z, then in-partition sort —
     # rows land clustered so parquet row-group zone maps on z are tight.
@@ -197,18 +339,34 @@ def build_index(
         and int(name.split("=", 1)[1]) not in done
     ]
     if not new_dirs:
-        return StoredIndex(spark=spark, path=path, conf=conf, bucket_shift=shift)
+        return idx
     written = spark.read.option("basePath", data_path).parquet(*new_dirs)
     mdf = M.manifest_for(written, bytes_col=bytes_col, build_id=build_id)
     mdf.write.mode("append").parquet(M.manifest_path(path))
-
-    return StoredIndex(spark=spark, path=path, conf=conf, bucket_shift=shift)
+    return idx
 
 
 def load_index(spark: SparkSession, path: str, conf: EngineConfig) -> StoredIndex:
-    b = M.load_boundaries(path)
-    shift = b[0] if b else _bucket_shift(conf)
-    return StoredIndex(spark=spark, path=path, conf=conf, bucket_shift=shift)
+    spec = _load_spec(path)
+    if spec is None:
+        spec = PartitionSpec("zprefix", shift=_bucket_shift(conf))
+    return StoredIndex(spark=spark, path=path, conf=conf, spec=spec)
+
+
+def _save_spec(path: str, spec: PartitionSpec) -> None:
+    with open(os.path.join(path, "boundaries.json"), "w") as f:
+        json.dump(spec.to_json(), f)
+
+
+def _load_spec(path: str) -> PartitionSpec | None:
+    p = os.path.join(path, "boundaries.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        d = json.load(f)
+    if "kind" not in d:  # legacy format
+        return None
+    return PartitionSpec.from_json(d)
 
 
 def _sweep_uncommitted(data_path: str, committed: set[int]) -> None:

@@ -57,12 +57,10 @@ def knn_query(
     d2 = _dist2(rel, px, py)
 
     def candidates(radius: float) -> DataFrame:
-        if rel.z_col and radius < world_r:
-            cov = z_cover(
-                px - radius, py - radius, px + radius, py + radius,
-                conf, expand=2 * expand,
+        if radius < world_r:
+            df = rel.pruned_for_box(
+                px - radius, py - radius, px + radius, py + radius
             )
-            df = rel.pruned(cov)
         else:
             df = rel.df
         return df.withColumn(dist_col, d2).filter(

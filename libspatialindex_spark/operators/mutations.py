@@ -24,7 +24,6 @@ import shutil
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from libspatialindex_spark.functions import curves
 from libspatialindex_spark.operators.index_build import StoredIndex
 from libspatialindex_spark.operators.relation import BoxCols
 from libspatialindex_spark.plans import manifest as M
@@ -42,12 +41,7 @@ def insert_batch(
     New files land inside existing ``bucket=`` dirs (parquet append);
     the manifest gains one row per touched bucket under ``build_id`` —
     per-bucket totals are the sum over its manifest rows."""
-    box = box or BoxCols()
-    cx = (F.col(box.xmin) + F.col(box.xmax)) / 2
-    cy = (F.col(box.ymin) + F.col(box.ymax)) / 2
-    keyed = rows.withColumn("z", curves.z_key(cx, cy, idx.conf)).withColumn(
-        "bucket", F.shiftright(F.col("z"), idx.bucket_shift)
-    )
+    keyed = idx.keyed(rows, box)
     (
         keyed.repartitionByRange(idx.conf.target_partitions, "z")
         .sortWithinPartitions("z")
@@ -78,12 +72,7 @@ def delete_rows(
     data = spark.read.parquet(idx.data_path)
 
     if set(c.name for c in victims.schema) >= {box.xmin, box.xmax, box.ymin, box.ymax}:
-        cx = (F.col(box.xmin) + F.col(box.xmax)) / 2
-        cy = (F.col(box.ymin) + F.col(box.ymax)) / 2
-        vb = victims.withColumn(
-            "bucket",
-            F.shiftright(curves.z_key(cx, cy, idx.conf), idx.bucket_shift),
-        ).select(id_col, "bucket")
+        vb = idx.keyed(victims, box).select(id_col, "bucket")
     else:
         vb = data.join(
             victims.select(id_col), on=id_col, how="left_semi"

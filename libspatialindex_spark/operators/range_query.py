@@ -30,14 +30,10 @@ from libspatialindex_spark.plans.cover import z_cover
 
 
 def _pruned(rel: SpatialRelation, qxmin, qymin, qxmax, qymax) -> DataFrame:
-    if not rel.z_col:
-        return rel.df
-    expand = rel.expand_radius()
-    if expand is None:
-        # Unknown entry extents: pruning on center-Z would be lossy.
-        return rel.df
-    cov = z_cover(qxmin, qymin, qxmax, qymax, rel.conf, expand=2 * expand)
-    return rel.pruned(cov)
+    # Polymorphic: StoredRelation prunes via manifest bucket-MBRs + z zone
+    # maps; plain relations via a Z cover when a materialized z column +
+    # extent bound exist; else full scan.
+    return rel.pruned_for_box(qxmin, qymin, qxmax, qymax)
 
 
 def intersects_query(

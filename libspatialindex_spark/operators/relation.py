@@ -83,3 +83,19 @@ class SpatialRelation:
     def pruned(self, cov: Cover) -> DataFrame:
         pred = self.z_range_predicate(cov)
         return self.df if pred is None else self.df.filter(pred)
+
+    def pruned_for_box(
+        self, qxmin: float, qymin: float, qxmax: float, qymax: float
+    ) -> DataFrame:
+        """Prune the relation for a query window.  Base: Z-cover predicate
+        when a materialized z column + extent bound exist, else full scan.
+        StoredRelation overrides with manifest-MBR bucket pruning."""
+        if not self.z_col:
+            return self.df
+        expand = self.expand_radius()
+        if expand is None:
+            return self.df
+        from libspatialindex_spark.plans.cover import z_cover
+
+        cov = z_cover(qxmin, qymin, qxmax, qymax, self.conf, expand=2 * expand)
+        return self.pruned(cov)
