@@ -247,6 +247,18 @@ def q42_ann_lsh(spark, sf_dir):
     return similarity.ann_lsh_cosine(emb, _qvec(spark, sf_dir), ANN_K)
 
 
+def q43_embed_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs on quantized vectors (exact oracle)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.quantized_cosine_pairs(emb, threshold=0.4)
+
+
+def q44_embed_near_dup_lsh(spark, sf_dir):
+    """LSH-bucketed embedding near-dup (scale path; rows-only check)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_near_dup_pairs(emb, threshold=0.4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_range_intersects": q01_range_intersects,
@@ -274,6 +286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_ann_quantized": q40_ann_quantized,
         "q41_ann_cosine": q41_ann_cosine,
         "q42_ann_lsh": q42_ann_lsh,
+        "q43_embed_near_dup": q43_embed_near_dup,
+        "q44_embed_near_dup_lsh": q44_embed_near_dup_lsh,
     }
 
 
@@ -553,4 +567,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q35_minhash_pairs": _minhash_oracle(),
         "q40_ann_quantized": _ann_oracle(),
+        "q43_embed_near_dup": """
+            WITH qv AS (
+              SELECT vec_id,
+                list_transform(embedding,
+                  e -> CAST(FLOOR(CAST(e AS DOUBLE) * 100000.0 + 0.5) AS BIGINT)
+                ) AS q
+              FROM embeddings
+            ),
+            n AS (
+              SELECT vec_id, q,
+                CAST(list_aggregate(list_transform(q, v -> v * v), 'sum')
+                     AS BIGINT) AS n2
+              FROM qv
+            ),
+            p AS (
+              SELECT a.vec_id AS id1, b.vec_id AS id2,
+                CAST(list_aggregate(
+                  list_transform(generate_series(1, len(a.q)),
+                                 i -> a.q[i] * b.q[i]), 'sum') AS BIGINT) AS dot,
+                a.n2 AS na, b.n2 AS nb
+              FROM n a, n b WHERE a.vec_id < b.vec_id
+            )
+            SELECT id1, id2,
+              CAST(dot AS DOUBLE)
+                / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos_q
+            FROM p
+            WHERE CAST(dot AS DOUBLE)
+                / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.4
+        """,
     }

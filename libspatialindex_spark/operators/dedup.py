@@ -107,11 +107,26 @@ def minhash_lsh_pairs(
     rows = bands
     assert n_hashes % bands == 0
     r = n_hashes // bands
-    sig = minhash_signature(F.col(text_col), k, n_hashes, portable)
     sh = shingles(F.col(text_col), k)
-    base = df.select(
-        F.col(id_col).alias("_id"), sig.alias("_sig"), sh.alias("_sh")
-    )
+    # Two materialization boundaries: (1) hash each shingle ONCE (md5 is the
+    # expensive part — projection collapse would inline it into all 16 sig
+    # exprs, a 16× blow-up), (2) the signed base feeds BOTH join sides.
+    hashed = df.select(
+        F.col(id_col).alias("_id"),
+        sh.alias("_sh"),
+        F.transform(sh, lambda s: _hash_expr(s, portable)).alias("_hv"),
+    ).persist()
+    def _mk(a: int, b: int):
+        # closure (not default-arg lambda): PySpark reads lambda arity
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE61))
+
+    sigs = [
+        F.array_min(F.transform(F.col("_hv"), _mk(a, b)))
+        for a, b in MINHASH_PARAMS[:n_hashes]
+    ]
+    base = hashed.select(
+        "_id", "_sh", F.array(*sigs).alias("_sig")
+    ).persist()
     banded = base.select(
         "_id", "_sh",
         F.explode(

@@ -91,6 +91,104 @@ def ann_topk_cosine(
     return d.orderBy(F.desc("sim"), F.col(id_col)).limit(k)
 
 
+def quantized_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine over *quantized integer*
+    vectors ≥ threshold, id1 < id2.  Quantization makes dot products and
+    norms exact integers, so the one float division + sqrt is bit-identical
+    across engines (the oracle-checkable variant; brute-force O(n²) — for
+    scale use :func:`lsh_near_dup_pairs`)."""
+    qv = F.transform(F.col(vec_col), _quant)
+
+    def norm2(c):
+        return F.aggregate(
+            F.transform(c, lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # Quantize + norm ONCE per vector behind a persist boundary — the cross
+    # join would otherwise re-evaluate the interpreted HOF per pair side.
+    base = df.select(
+        F.col(id_col).alias("_id"), qv.alias("_q")
+    ).withColumn("_n2", norm2(F.col("_q"))).persist()
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    a = base.select(
+        F.col("_id").alias("id1"), F.col("_q").alias("qa"), F.col("_n2").alias("na")
+    )
+    b = base.select(
+        F.col("_id").alias("id2"), F.col("_q").alias("qb"), F.col("_n2").alias("nb")
+    )
+    pairs = a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
+    # cast norms to double BEFORE multiplying: the int64 product overflows
+    cos = dot.cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return (
+        pairs.withColumn("cos_q", cos)
+        .filter(F.col("cos_q") >= F.lit(threshold))
+        .select("id1", "id2", "cos_q")
+    )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    n_planes: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Scale path for embedding near-dup: bucket by hyperplane signature,
+    exact cosine verify within buckets (equi-join shuffle on the bucket
+    key — near-dup vectors collide with high probability)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    sig = lsh_signature(F.col(vec_col), planes)
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_s")
+    )
+    a = base.select(
+        F.col("_id").alias("id1"), F.col("_v").alias("va"), F.col("_s").alias("_s")
+    )
+    b = base.select(
+        F.col("_id").alias("id2"), F.col("_v").alias("vb"), F.col("_s").alias("_s")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("va"), F.col("vb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda v: v.cast("double") * v.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    return (
+        a.join(b, on="_s")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cos", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("id1", "id2", "cos")
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes (shared by index + query side)."""
     rng = np.random.default_rng(seed)
