@@ -108,6 +108,94 @@ def run_on(
     )
 
 
+def run_to_storage(
+    images: DataFrame,
+    polys: DataFrame,
+    out_path: str,
+    conf: EngineConfig | None = None,
+    group_bits: int = 3,
+    resume: bool = False,
+    broadcast_polys: bool = True,
+    salt: int | None = None,
+    reencode_fmt: str | None = None,
+) -> DataFrame:
+    """Checkpoint-resumable pipeline sink: the joined+tiled+re-encoded rows
+    are written partitioned by **tile group** (``tile_id >> (2·tile_bits −
+    2·group_bits)`` → ``4^group_bits`` groups), with one manifest row per
+    committed group.  A killed job resumes by filtering the input to the
+    missing groups only — same lineage discipline as the index build.
+
+    The group derives deterministically from each row's (x, y), so the
+    filter prunes *before* the expensive re-encode stage.
+    """
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    conf = conf or EngineConfig()
+    spark = images.sparkSession
+    n_groups_bits = 2 * group_bits
+    shift = 2 * conf.tile_bits - n_groups_bits  # row-major tile id → group
+    data_path = os.path.join(out_path, "data")
+    man_path = os.path.join(out_path, "manifest")
+
+    done: set[int] = set()
+    if resume and os.path.isdir(man_path) and any(
+        f.endswith(".parquet") for f in os.listdir(man_path)
+    ):
+        done = {
+            r["grp"]
+            for r in spark.read.parquet(man_path).select("grp").distinct().collect()
+        }
+    elif os.path.isdir(out_path) and not resume:
+        import shutil
+
+        shutil.rmtree(out_path)
+
+    tiled_src = tiling.assign_tiles(images, conf)
+    grp = (F.col("tile_id") / F.lit(1 << shift)).cast("long")
+    tiled_src = tiled_src.withColumn("grp", grp)
+    if done:
+        tiled_src = tiled_src.filter(~F.col("grp").isin([*done]))
+        # sweep uncommitted group dirs from a crashed attempt
+        if os.path.isdir(data_path):
+            import shutil
+
+            for name in os.listdir(data_path):
+                if name.startswith("grp="):
+                    g = int(name.split("=", 1)[1])
+                    if g not in done:
+                        shutil.rmtree(
+                            os.path.join(data_path, name), ignore_errors=True
+                        )
+
+    joined = spatial_join.point_in_box_join(
+        tiled_src, polys, "x", "y", POLY_BOX, conf,
+        broadcast_boxes=broadcast_polys, salt=salt,
+    )
+    out = tiling.reencode(joined, out_fmt=reencode_fmt)
+    out.write.partitionBy("grp").mode("append").parquet(data_path)
+
+    new_dirs = [
+        os.path.join(data_path, n)
+        for n in os.listdir(data_path)
+        if n.startswith("grp=") and int(n.split("=", 1)[1]) not in done
+    ]
+    if new_dirs:
+        written = spark.read.option("basePath", data_path).parquet(*new_dirs)
+        (
+            written.groupBy(F.col("grp").cast("long").alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.length("bytes")).alias("n_bytes"),
+                F.approx_count_distinct("tile_id").alias("n_tiles"),
+            )
+            .write.mode("append")
+            .parquet(man_path)
+        )
+    return spark.read.parquet(data_path)
+
+
 def run(
     spark: SparkSession,
     n_images: int,
