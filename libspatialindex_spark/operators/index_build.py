@@ -113,10 +113,38 @@ def _tuplify(node):
     return node
 
 
-def kd_partition_tree(sample_xy: np.ndarray, levels: int) -> list:
+def kd_partition_tree(
+    sample_xy: np.ndarray,
+    levels: int,
+    workload: np.ndarray | None = None,
+) -> list:
     """Top-down median partitioning on a sample, cycling split dims
-    (``kdtree/BulkLoader.cc:327-377``; dim cycling at ``:425``)."""
+    (``kdtree/BulkLoader.cc:327-377``; dim cycling at ``:425``).
+
+    With ``workload`` (array of query boxes ``[xmin, ymin, xmax, ymax]``)
+    this becomes the B5 greedy variant (``kdtree/BulkLoader.cc:579-…``,
+    cost at ``:563-577``): among candidate cuts, pick the one MAXIMIZING
+    the number of workload queries that can skip a side entirely (the
+    reference's ``calculateSkip``), tie-broken toward the median.
+    """
     counter = [0]
+
+    def best_cut(pts: np.ndarray, dim: int) -> float:
+        med = float(np.median(pts[:, dim]))
+        if workload is None or len(workload) == 0:
+            return med
+        qlo, qhi = workload[:, dim], workload[:, dim + 2]
+        cands = np.quantile(pts[:, dim], np.linspace(0.2, 0.8, 7))
+        best, best_skip = med, -1.0
+        for c in cands:
+            # queries entirely on one side of the cut skip the other side
+            skip = float(np.sum(qhi < c) + np.sum(qlo > c))
+            # prefer balanced cuts among equal skip counts
+            balance = -abs(float(np.mean(pts[:, dim] <= c)) - 0.5)
+            score = skip + balance
+            if score > best_skip:
+                best_skip, best = score, float(c)
+        return best
 
     def build(pts: np.ndarray, depth: int):
         if depth >= levels or len(pts) < 4:
@@ -124,7 +152,7 @@ def kd_partition_tree(sample_xy: np.ndarray, levels: int) -> list:
             counter[0] += 1
             return leaf
         dim = depth % 2
-        cut = float(np.median(pts[:, dim]))
+        cut = best_cut(pts, dim)
         left = pts[pts[:, dim] <= cut]
         right = pts[pts[:, dim] > cut]
         if len(left) == 0 or len(right) == 0:
@@ -266,6 +294,7 @@ def build_index(
     partitioner: str = "zprefix",
     cuts: list[int] | None = None,
     kd_levels: int | None = None,
+    workload_boxes=None,
 ) -> StoredIndex:
     """Bulk-load ``df`` into a stored index at ``path``.
 
@@ -299,7 +328,10 @@ def build_index(
                 .to_numpy()
             )
             spec = PartitionSpec(
-                "kd", kd_tree=kd_partition_tree(sample, levels)
+                "kd",
+                kd_tree=kd_partition_tree(
+                    sample, levels, workload=workload_boxes
+                ),
             )
         else:
             raise ValueError(partitioner)

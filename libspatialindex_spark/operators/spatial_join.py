@@ -86,12 +86,14 @@ def self_join_query(
 
     # Window restriction first (both sides must intersect the window) —
     # this is the reference's `m_query` narrowing (RTree.cc:1812-1817).
-    base = rel.df.filter(
+    # Persist: the window-filtered base feeds BOTH join sides; without the
+    # boundary Spark scans + filters the source twice.
+    base = rel.pruned_for_box(qxmin, qymin, qxmax, qymax).filter(
         G.intersects(
             F.col(b.xmin), F.col(b.ymin), F.col(b.xmax), F.col(b.ymax),
             qxmin, qymin, qxmax, qymax,
         )
-    ).select(id_col, b.xmin, b.ymin, b.xmax, b.ymax)
+    ).select(id_col, b.xmin, b.ymin, b.xmax, b.ymax).persist()
 
     cells = _cells_of_box(base, b, n, conf.world)
     left = cells.select(

@@ -66,6 +66,23 @@ def test_kd_insert_and_reload_uses_same_spec(spark, conf, tmp_path):
     assert got == _want(df, conf)
 
 
+def test_workload_aware_cuts_skip_queries(spark, conf):
+    """B5: given a workload clustered left of x=0.3, the greedy cut must let
+    those queries skip the right side — i.e. the root x-cut moves right of
+    the query cluster instead of sitting at the data median."""
+    rng = np.random.default_rng(7)
+    pts = rng.random((5000, 2))
+    queries = np.array([[0.0, 0.0, 0.25, 1.0]] * 20)
+    plain = index_build.kd_partition_tree(pts, levels=1)
+    aware = index_build.kd_partition_tree(pts, levels=1, workload=queries)
+    # level-1 tree: [dim, cut, leafL, leafR]
+    assert plain[0] == 0 and aware[0] == 0
+    assert abs(plain[1] - 0.5) < 0.05  # median of uniform
+    assert aware[1] > 0.25  # all 20 queries skip the right child
+    n_skip = (queries[:, 2] < aware[1]).sum()
+    assert n_skip == 20
+
+
 def test_manifest_mbr_pruning_in_plan(spark, conf, tmp_path):
     """KD indexes have no z-prefix dirs, but manifest-MBR pruning must still
     cut the bucket IN-list below the full bucket count."""
