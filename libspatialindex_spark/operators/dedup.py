@@ -234,7 +234,8 @@ def simhash_near_pairs(
     """SimHash near-dup pairs: block on the top ``prefix_bits`` of the
     signature (cheap LSH), verify Hamming ≤ max_hamming."""
     sig = simhash60(F.col(text_col))
-    base = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    # persist: the pandas-UDF signature feeds both join sides
+    base = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).persist()
     shift = 60 - prefix_bits
     blocked = base.withColumn("_blk", F.shiftright("_sig", shift))
     a = blocked.select(

@@ -76,17 +76,17 @@ def knn_query(
     if radius >= world_r:
         cand = candidates(world_r)  # may hold fewer than k entries in total
 
+    # Persist: phases 2-3 and the caller's final action all reuse the
+    # candidate set (Spark's LRU evicts it naturally; an eager unpersist
+    # would force the returned DataFrame to recompute the ring scan).
     cand = cand.persist()
-    try:
-        # Phase 2: exact k-th distance bound (top-k on the pruned set).
-        kth_rows = (
-            cand.select(dist_col).orderBy(dist_col).limit(k)
-            .agg(F.max(dist_col).alias("kth")).collect()
-        )
-        kth = kth_rows[0]["kth"]
-        if kth is None:  # empty relation
-            return cand.filter(F.lit(False))
-        # Phase 3: tie-inclusive threshold (RTree.cc:760-762 semantics).
-        return cand.filter(F.col(dist_col) <= F.lit(kth))
-    finally:
-        cand.unpersist(blocking=False)
+    # Phase 2: exact k-th distance bound (top-k on the pruned set).
+    kth_rows = (
+        cand.select(dist_col).orderBy(dist_col).limit(k)
+        .agg(F.max(dist_col).alias("kth")).collect()
+    )
+    kth = kth_rows[0]["kth"]
+    if kth is None:  # empty relation
+        return cand.filter(F.lit(False))
+    # Phase 3: tie-inclusive threshold (RTree.cc:760-762 semantics).
+    return cand.filter(F.col(dist_col) <= F.lit(kth))

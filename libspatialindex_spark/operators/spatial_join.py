@@ -76,11 +76,25 @@ def self_join_query(
     qxmax: float,
     qymax: float,
     id_col: str = "id",
-    join_bits: int = 8,
+    join_bits: int | None = None,
 ) -> DataFrame:
     """Q5 — pairs (id1, id2), both orders, id1 ≠ id2, both boxes
-    intersecting the window and each other (closed intervals)."""
+    intersecting the window and each other (closed intervals).
+
+    ``join_bits`` (cell resolution of the equi-join key) defaults
+    adaptively: cells ≈ max-extent/4 balance explode fan-out (coarse cells)
+    against per-cell candidate quadratics (fine cells) — measured 9× swing
+    on the benchmark fixture."""
+    import math
+
     conf = rel.conf
+    if join_bits is None:
+        if rel.max_extent and max(rel.max_extent) > 0:
+            join_bits = int(
+                min(10, max(4, round(math.log2(1.0 / max(rel.max_extent))) + 2))
+            )
+        else:
+            join_bits = 8
     n = 1 << join_bits
     b = rel.box
 
