@@ -119,6 +119,22 @@ def q11_internal_nodes(spark, sf_dir):
     return range_query.internal_nodes_query(rel, *W, bits=8)
 
 
+BALL = (0.5, 0.5, 0.05)  # circular query (cx, cy, r)
+SEG = (0.1, 0.2, 0.8, 0.7)  # segment query (x1, y1, x2, y2)
+
+
+def q12_ball_range(spark, sf_dir):
+    """Ball-shape range query (Ball.cc support)."""
+    rel = _rects_rel(spark, sf_dir)
+    return range_query.ball_query(rel, *BALL).select("id")
+
+
+def q13_segment_range(spark, sf_dir):
+    """LineSegment-shape range query (LineSegment.cc:275 semantics)."""
+    rel = _rects_rel(spark, sf_dir)
+    return range_query.segment_query(rel, *SEG).select("id")
+
+
 TQ = (200.0, 260.0)  # Q9 time interval [t0, t1)
 MQ = (0.0, 512.0)  # Q10 query time interval [t0, t1]
 
@@ -270,6 +286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_count_range": q07_count_range,
         "q08_key_range": q08_key_range,
         "q11_internal_nodes": q11_internal_nodes,
+        "q12_ball_range": q12_ball_range,
+        "q13_segment_range": q13_segment_range,
         "q09_time_range": q09_time_range,
         "q10_moving_range": q10_moving_range,
         "q20_pip_join": q20_pip_join,
@@ -482,6 +500,34 @@ def oracle_sql() -> dict[str, str]:
             FROM rects
             WHERE {W[0]} <= xmin AND xmax <= {W[2]}
               AND {W[1]} <= ymin AND ymax <= {W[3]}
+        """,
+        "q12_ball_range": f"""
+            WITH rects AS ({_R}),
+            d AS (
+              SELECT id,
+                GREATEST(xmin - {BALL[0]}, {BALL[0]} - xmax, 0.0) AS dx,
+                GREATEST(ymin - {BALL[1]}, {BALL[1]} - ymax, 0.0) AS dy
+              FROM rects
+            )
+            SELECT id FROM d
+            WHERE dx * dx + dy * dy <= {BALL[2]} * {BALL[2]}
+        """,
+        "q13_segment_range": f"""
+            WITH rects AS ({_R}),
+            iv AS (
+              SELECT id,
+                LEAST((xmin - {SEG[0]}) / ({SEG[2]} - {SEG[0]}),
+                      (xmax - {SEG[0]}) / ({SEG[2]} - {SEG[0]})) AS tx_lo,
+                GREATEST((xmin - {SEG[0]}) / ({SEG[2]} - {SEG[0]}),
+                         (xmax - {SEG[0]}) / ({SEG[2]} - {SEG[0]})) AS tx_hi,
+                LEAST((ymin - {SEG[1]}) / ({SEG[3]} - {SEG[1]}),
+                      (ymax - {SEG[1]}) / ({SEG[3]} - {SEG[1]})) AS ty_lo,
+                GREATEST((ymin - {SEG[1]}) / ({SEG[3]} - {SEG[1]}),
+                         (ymax - {SEG[1]}) / ({SEG[3]} - {SEG[1]})) AS ty_hi
+              FROM rects
+            )
+            SELECT id FROM iv
+            WHERE GREATEST(tx_lo, ty_lo, 0.0) <= LEAST(tx_hi, ty_hi, 1.0)
         """,
         "q09_time_range": f"""
             WITH rt AS ({td.RECTS_T_SQL.strip()})

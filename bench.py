@@ -43,6 +43,43 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         queries[name] = round(time.time() - t0, 3)
 
+    # Indexed vs full-scan range queries (the reference's query-workload
+    # shape: small windows, test/rtree/Generator.cc:86-91) — shows what the
+    # stored two-level index buys at this SF.
+    from libspatialindex_spark.operators import index_build, range_query
+    from libspatialindex_spark.operators.relation import SpatialRelation
+
+    idx_path = f"/tmp/libspatialindex_spark_bench/rects_idx_{sf}"
+    if not os.path.isdir(os.path.join(idx_path, "data")):
+        index_build.build_index(td.rects(spark, sf_dir), idx_path, conf)
+    idx = index_build.load_index(spark, idx_path, conf)
+    rel_idx = idx.relation()
+    rel_scan = SpatialRelation(
+        td.rects(spark, sf_dir), conf, max_extent=(td.MAX_EXTENT, td.MAX_EXTENT)
+    )
+    rng_windows = [
+        (0.017 * i % 0.95, 0.029 * i % 0.95) for i in range(1, 21)
+    ]
+
+    def run_windows(rel) -> float:
+        t0 = time.time()
+        for wx, wy in rng_windows:
+            range_query.intersects_query(
+                rel, wx, wy, wx + 0.01, wy + 0.01
+            ).write.format("noop").mode("overwrite").save()
+        return (time.time() - t0) / len(rng_windows)
+
+    run_windows(rel_idx)  # warm
+    indexed_sec = run_windows(rel_idx)
+    scan_sec = run_windows(rel_scan)
+    # Rows touched after pruning — the number that scales to 100 TB (wall
+    # time at this SF is dominated by fixed job latency, not data).
+    total_rows = rel_idx.df.count()
+    pruned_rows = sum(
+        rel_idx.pruned_for_box(wx, wy, wx + 0.01, wy + 0.01).count()
+        for wx, wy in rng_windows[:5]
+    ) / 5.0
+
     polys = td.polys(spark, sf_dir)
     images = pipeline.materialize_images(
         spark, n_images, f"/tmp/libspatialindex_spark_bench/images_{n_images}",
@@ -68,6 +105,10 @@ def main() -> None:
                 "n_join_rows": res.n_join_rows,
                 "n_tiles": res.n_tiles,
                 "cpus": cpus,
+                "indexed_range_query_sec": round(indexed_sec, 4),
+                "scan_range_query_sec": round(scan_sec, 4),
+                "index_speedup": round(scan_sec / max(indexed_sec, 1e-9), 2),
+                "index_prune_factor": round(total_rows / max(pruned_rows, 1.0), 1),
             }
         )
     )

@@ -103,6 +103,58 @@ def min_dist2_box(
     return dx * dx + dy * dy
 
 
+def ball_intersects_box(cx, cy, r, xmin, ymin, xmax, ymax) -> Column:
+    """Ball ∩ box ≠ ∅ (closed): point↔box distance ≤ r.
+
+    The reference's ``Ball::intersectsShape`` is unimplemented
+    (``src/spatialindex/Ball.cc:141``); this engine defines it by the
+    Euclidean point↔box distance of ``Region.cc:407-429`` — consistent
+    with ``Ball::containsRegion`` (``Ball.cc:183``) which uses corner
+    distances ≤ r."""
+    return min_dist2_point(xmin, ymin, xmax, ymax, cx, cy) <= _c(r) * _c(r)
+
+
+def ball_contains_box(cx, cy, r, xmin, ymin, xmax, ymax) -> Column:
+    """Ball ⊇ box: all four corners within radius (``Ball.cc:183-193``)."""
+    cx, cy, r = _c(cx), _c(cy), _c(r)
+    xmin, ymin, xmax, ymax = map(_c, (xmin, ymin, xmax, ymax))
+    r2 = r * r
+
+    def d2(px, py):
+        return (px - cx) * (px - cx) + (py - cy) * (py - cy)
+
+    return (
+        (d2(xmin, ymin) <= r2) & (d2(xmin, ymax) <= r2)
+        & (d2(xmax, ymin) <= r2) & (d2(xmax, ymax) <= r2)
+    )
+
+
+_FAR = 1.0e18
+
+
+def _seg_axis_interval(p, d, lo, hi):
+    """Feasible t for lo ≤ p + d·t ≤ hi (Liang-Barsky clipping axis)."""
+    p, d = _c(p), _c(d)
+    lo, hi = _c(lo), _c(hi)
+    ta = (lo - p) / d
+    tb = (hi - p) / d
+    inside = (lo <= p) & (p <= hi)
+    t_lo = F.when(d == 0.0, F.when(inside, F.lit(-_FAR)).otherwise(F.lit(_FAR))).otherwise(F.least(ta, tb))
+    t_hi = F.when(d == 0.0, F.when(inside, F.lit(_FAR)).otherwise(F.lit(-_FAR))).otherwise(F.greatest(ta, tb))
+    return t_lo, t_hi
+
+
+def segment_intersects_box(x1, y1, x2, y2, xmin, ymin, xmax, ymax) -> Column:
+    """2-D segment ∩ box ≠ ∅ (closed) via parametric clipping — the
+    Column-expression form of ``LineSegment::intersectsRegion``
+    (``src/spatialindex/LineSegment.cc:275``)."""
+    tx_lo, tx_hi = _seg_axis_interval(x1, _c(x2) - _c(x1), xmin, xmax)
+    ty_lo, ty_hi = _seg_axis_interval(y1, _c(y2) - _c(y1), ymin, ymax)
+    enter = F.greatest(tx_lo, ty_lo, F.lit(0.0))
+    leave = F.least(tx_hi, ty_hi, F.lit(1.0))
+    return enter <= leave
+
+
 def combine(axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax):
     """MBR union (Region.cc:496) → 4 Columns."""
     return (

@@ -97,6 +97,49 @@ def count_contains(rel, qxmin, qymin, qxmax, qymax) -> DataFrame:
     )
 
 
+def ball_query(
+    rel: SpatialRelation, cx: float, cy: float, r: float
+) -> DataFrame:
+    """Circular range query: entries whose MBR is within distance r of the
+    center (Ball shape support, ``src/spatialindex/Ball.cc``)."""
+    b = rel.box
+    return _pruned(rel, cx - r, cy - r, cx + r, cy + r).filter(
+        G.ball_intersects_box(
+            cx, cy, r, F.col(b.xmin), F.col(b.ymin), F.col(b.xmax), F.col(b.ymax)
+        )
+    )
+
+
+def touches_query(
+    rel: SpatialRelation, qxmin: float, qymin: float, qxmax: float, qymax: float
+) -> DataFrame:
+    """Entries touching the query window (±EPS boundary coincidence while
+    intersecting — ``Region.cc:292-309``)."""
+    b = rel.box
+    return _pruned(rel, qxmin, qymin, qxmax, qymax).filter(
+        G.touches(
+            F.col(b.xmin), F.col(b.ymin), F.col(b.xmax), F.col(b.ymax),
+            qxmin, qymin, qxmax, qymax,
+        )
+    )
+
+
+def segment_query(
+    rel: SpatialRelation, x1: float, y1: float, x2: float, y2: float
+) -> DataFrame:
+    """Entries whose MBR meets the line segment (LineSegment shape support,
+    ``src/spatialindex/LineSegment.cc:275``)."""
+    b = rel.box
+    qxmin, qxmax = min(x1, x2), max(x1, x2)
+    qymin, qymax = min(y1, y2), max(y1, y2)
+    return _pruned(rel, qxmin, qymin, qxmax, qymax).filter(
+        G.segment_intersects_box(
+            x1, y1, x2, y2,
+            F.col(b.xmin), F.col(b.ymin), F.col(b.xmax), F.col(b.ymax),
+        )
+    )
+
+
 def internal_nodes_query(
     rel: SpatialRelation,
     qxmin: float,
