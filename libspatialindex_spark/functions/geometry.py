@@ -64,18 +64,17 @@ def contains_point(xmin, ymin, xmax, ymax, px, py) -> Column:
 
 
 def touches(axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax) -> Column:
-    """Any boundary coordinate within ±EPS while intersecting
-    (Region.cc:292-309)."""
+    """Exact ``Region::touchesRegion`` semantics (Region.cc:292-309): true
+    iff on ANY dimension the two lows coincide within ±EPS or the two highs
+    do.  (No intersection requirement, and low↔high coincidence does NOT
+    count — faithful to the reference, quirks included.)"""
     axmin, aymin, axmax, aymax = map(_c, (axmin, aymin, axmax, aymax))
     bxmin, bymin, bxmax, bymax = map(_c, (bxmin, bymin, bxmax, bymax))
-    near = (
+    return (
         (F.abs(axmin - bxmin) <= EPS)
         | (F.abs(axmax - bxmax) <= EPS)
         | (F.abs(aymin - bymin) <= EPS)
         | (F.abs(aymax - bymax) <= EPS)
-    )
-    return near & intersects(
-        axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax
     )
 
 

@@ -113,10 +113,12 @@ def ball_query(
 def touches_query(
     rel: SpatialRelation, qxmin: float, qymin: float, qxmax: float, qymax: float
 ) -> DataFrame:
-    """Entries touching the query window (±EPS boundary coincidence while
-    intersecting — ``Region.cc:292-309``)."""
+    """Entries touching the query window (±EPS low-low / high-high boundary
+    coincidence on any dim — ``Region.cc:292-309``).  NOT prunable by the
+    window MBR: reference-touching boxes may be spatially disjoint from it
+    (coincident low x, distant y), so this is a full codegen scan."""
     b = rel.box
-    return _pruned(rel, qxmin, qymin, qxmax, qymax).filter(
+    return rel.df.filter(
         G.touches(
             F.col(b.xmin), F.col(b.ymin), F.col(b.xmax), F.col(b.ymax),
             qxmin, qymin, qxmax, qymax,

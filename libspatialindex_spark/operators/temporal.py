@@ -52,7 +52,7 @@ def time_range_query(
 ) -> DataFrame:
     """Q9 — spatial intersection restricted to a validity-time interval."""
     b = rel.box
-    out = rel.df.filter(
+    out = rel.pruned_for_box(qxmin, qymin, qxmax, qymax).filter(
         interval_overlaps(F.col(tstart), F.col(tend), qt0, qt1)
         & G.intersects(
             F.col(b.xmin), F.col(b.ymin), F.col(b.xmax), F.col(b.ymax),
