@@ -21,6 +21,7 @@ from libspatialindex_spark.config import EngineConfig
 from libspatialindex_spark.functions import curves
 from libspatialindex_spark.operators import (
     dedup,
+    events,
     knn,
     range_query,
     similarity,
@@ -275,6 +276,16 @@ def q44_embed_near_dup_lsh(spark, sf_dir):
     return similarity.lsh_near_dup_pairs(emb, threshold=0.4)
 
 
+def q50_event_hourly_rollup(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.hourly_rollup(ev)
+
+
+def q51_user_sessions(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.session_counts(ev, gap_seconds=1800)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_range_intersects": q01_range_intersects,
@@ -306,6 +317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_ann_lsh": q42_ann_lsh,
         "q43_embed_near_dup": q43_embed_near_dup,
         "q44_embed_near_dup_lsh": q44_embed_near_dup_lsh,
+        "q50_event_hourly_rollup": q50_event_hourly_rollup,
+        "q51_user_sessions": q51_user_sessions,
     }
 
 
@@ -613,6 +626,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q35_minhash_pairs": _minhash_oracle(),
         "q40_ann_quantized": _ann_oracle(),
+        "q50_event_hourly_rollup": """
+            SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hour_epoch,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "q51_user_sessions": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, CAST(FLOOR(epoch(ts)) AS BIGINT) AS e,
+                LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, event_id, e,
+                SUM(CASE WHEN prev IS NULL OR e - prev > 1800 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM o
+            )
+            SELECT user_id,
+                   CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id
+        """,
         "q43_embed_near_dup": """
             WITH qv AS (
               SELECT vec_id,

@@ -1,0 +1,97 @@
+"""Event operators: batch vs streaming-with-watermark equivalence, and the
+MVR multi-version dedup guard."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from libspatialindex_spark.operators import events, temporal
+from libspatialindex_spark.operators.relation import SpatialRelation
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_hourly_rollup_totals(ev):
+    out = events.hourly_rollup(ev).toPandas()
+    assert out.n.sum() == ev.count()
+    assert (out.min_value <= out.max_value).all()
+
+
+def test_sessionize_invariants(ev):
+    s = events.sessionize(ev, gap_seconds=1800).toPandas()
+    assert s.n_events.sum() == ev.count()
+    # sessions are disjoint, ordered, and within-gap
+    for uid, grp in s.groupby("user_id"):
+        g = grp.sort_values("session_id")
+        assert (g.start_epoch <= g.end_epoch).all()
+        prev_end = None
+        for _, r in g.iterrows():
+            if prev_end is not None:
+                assert r.start_epoch - prev_end > 1800
+            prev_end = r.end_epoch
+
+
+def test_streaming_windowed_agg_matches_batch(spark, ev, tmp_path):
+    """Structured Streaming (file source, watermark, update-mode windowed
+    count) over the same events must converge to the batch rollup."""
+    src = str(tmp_path / "stream_src")
+    ev.limit(2000).repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT CAST(unix_timestamp(window.start) / 3600 AS LONG) AS hour_epoch,"
+        " event_type, n FROM rollup_test"
+    ).toPandas()
+    want = events.hourly_rollup(
+        spark.read.parquet(src)
+    ).select("hour_epoch", "event_type", "n").toPandas()
+    g = got.sort_values(["hour_epoch", "event_type"]).reset_index(drop=True)
+    w = want.sort_values(["hour_epoch", "event_type"]).reset_index(drop=True)
+    assert g.equals(w)
+
+
+def test_mvr_multi_version_dedup(spark, conf):
+    """MVRTree.cc:1283-1291 visitedData semantics: an id stored as several
+    time-versions matching the same query must be emitted ONCE."""
+    df = spark.createDataFrame(
+        [
+            (7, 0.4, 0.4, 0.45, 0.45, 0.0, 50.0),
+            (7, 0.4, 0.4, 0.45, 0.45, 50.0, 100.0),  # same id, next version
+            (8, 0.4, 0.4, 0.45, 0.45, 90.0, 100.0),
+            (9, 0.9, 0.9, 0.95, 0.95, 0.0, 100.0),  # outside window
+        ],
+        ["id", "xmin", "ymin", "xmax", "ymax", "tstart", "tend"],
+    )
+    rel = SpatialRelation(df, conf)
+    got = sorted(
+        r.id
+        for r in temporal.time_range_query(
+            rel, 0.3, 0.3, 0.5, 0.5, 0.0, 100.0
+        ).collect()
+    )
+    assert got == [7, 8]
