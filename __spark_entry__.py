@@ -136,6 +136,17 @@ def q13_segment_range(spark, sf_dir):
     return range_query.segment_query(rel, *SEG).select("id")
 
 
+def q14_batch_queries(spark, sf_dir):
+    """The reference's multi-window workload (RTreeParallel.cc analog) as
+    ONE job: (qid, id) hits for every derived query window."""
+    from libspatialindex_spark.operators import batch_query
+
+    rel = _rects_rel(spark, sf_dir)
+    td.register_views(spark, sf_dir)
+    windows = spark.sql(td.WINDOWS_SQL)
+    return batch_query.batch_intersects(rel, windows)
+
+
 TQ = (200.0, 260.0)  # Q9 time interval [t0, t1)
 MQ = (0.0, 512.0)  # Q10 query time interval [t0, t1]
 
@@ -299,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_internal_nodes": q11_internal_nodes,
         "q12_ball_range": q12_ball_range,
         "q13_segment_range": q13_segment_range,
+        "q14_batch_queries": q14_batch_queries,
         "q09_time_range": q09_time_range,
         "q10_moving_range": q10_moving_range,
         "q20_pip_join": q20_pip_join,
@@ -541,6 +553,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id FROM iv
             WHERE GREATEST(tx_lo, ty_lo, 0.0) <= LEAST(tx_hi, ty_hi, 1.0)
+        """,
+        "q14_batch_queries": f"""
+            WITH rects AS ({_R}), w AS ({td.WINDOWS_SQL.strip()})
+            SELECT w.qid, rects.id
+            FROM rects, w
+            WHERE NOT (rects.xmin > w.qxmax OR rects.xmax < w.qxmin)
+              AND NOT (rects.ymin > w.qymax OR rects.ymax < w.qymin)
         """,
         "q09_time_range": f"""
             WITH rt AS ({td.RECTS_T_SQL.strip()})

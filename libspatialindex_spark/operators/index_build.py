@@ -314,6 +314,26 @@ def build_index(
             if not cuts:
                 raise ValueError("cutlist partitioner needs explicit cuts")
             spec = PartitionSpec("cutlist", cuts=[int(c) for c in cuts])
+        elif partitioner == "quantile":
+            # LISA equal-frequency cuts (``learnedindex/BulkLoader.cc:
+            # 488-590``): sample z, cut at distinct-value quantile borders
+            # (the np.unique is the reference's duplicate-value advance,
+            # ``:550-552``) — delegates to the cutlist machinery.
+            cx = (F.col(box.xmin) + F.col(box.xmax)) / 2
+            cy = (F.col(box.ymin) + F.col(box.ymax)) / 2
+            zs = (
+                df.select(curves.z_key(cx, cy, conf).alias("z"))
+                .sample(fraction=min(1.0, conf.sample_fraction * 4), seed=42)
+                .limit(conf.max_sample_rows)
+                .toPandas()["z"]
+                .to_numpy()
+            )
+            qs = np.quantile(
+                zs, np.linspace(0, 1, 4 * conf.target_partitions + 1)[1:-1]
+            )
+            spec = PartitionSpec(
+                "cutlist", cuts=[int(c) for c in np.unique(qs.astype(np.int64))]
+            )
         elif partitioner == "kd":
             levels = kd_levels or max(
                 2, math.ceil(math.log2(conf.target_partitions))

@@ -93,6 +93,20 @@ FROM ({POINTS_SQL.strip()}) p
 """
 
 
+# Query-workload layer (the reference's 1000×0.01-window workload shape,
+# ``test/rtree/Generator.cc:86-91``), derived from `orders`.
+WINDOWS_SQL = f"""
+SELECT
+  o_orderkey AS qid,
+  CAST((o_orderkey * 2654435761 + 7) % {SCALE} AS DOUBLE) / {SCALE}.0 AS qxmin,
+  CAST((o_orderkey * 2246822519 + 3) % {SCALE} AS DOUBLE) / {SCALE}.0 AS qymin,
+  CAST((o_orderkey * 2654435761 + 7) % {SCALE} AS DOUBLE) / {SCALE}.0 + 0.01 AS qxmax,
+  CAST((o_orderkey * 2246822519 + 3) % {SCALE} AS DOUBLE) / {SCALE}.0 + 0.01 AS qymax
+FROM orders
+WHERE o_orderkey % 307 = 1
+"""
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (idempotent)."""
     for t in TABLES:

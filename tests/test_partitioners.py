@@ -18,7 +18,7 @@ def _want(df, conf):
     return {r.id for r in range_query.intersects_query(rel, *W).collect()}
 
 
-@pytest.mark.parametrize("partitioner", ["cutlist", "kd"])
+@pytest.mark.parametrize("partitioner", ["cutlist", "kd", "quantile"])
 def test_alt_partitioner_query_parity(spark, conf, tmp_path, partitioner):
     df = td.rects(spark, SF_DIR)
     kwargs = {}
