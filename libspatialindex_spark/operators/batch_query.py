@@ -21,10 +21,6 @@ from libspatialindex_spark.operators.relation import SpatialRelation
 from libspatialindex_spark.operators.spatial_join import _cells_of_box
 
 
-class QueryBox:
-    COLS = ("qid", "qxmin", "qymin", "qxmax", "qymax")
-
-
 def batch_intersects(
     rel: SpatialRelation,
     queries: DataFrame,

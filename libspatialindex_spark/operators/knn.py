@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from libspatialindex_spark.functions import geometry as G
 from libspatialindex_spark.operators.relation import SpatialRelation
-from libspatialindex_spark.plans.cover import z_cover
 
 
 def _dist2(rel: SpatialRelation, px: float, py: float):

@@ -130,19 +130,3 @@ def z_cover(
                 stack.append((level + 1, 2 * ix + dx, 2 * iy + dy))
 
     return Cover(full=_merge(sorted(full)), partial=_merge(sorted(partial)))
-
-
-def ring_cover(
-    px: float,
-    py: float,
-    radius: float,
-    conf: EngineConfig,
-    max_cells: int = 256,
-    expand: float = 0.0,
-) -> Cover:
-    """Cover of the square ring window centered at a point — the kNN
-    ring-expansion primitive (SURVEY.md Q4)."""
-    return z_cover(
-        px - radius, py - radius, px + radius, py + radius, conf,
-        max_cells=max_cells, expand=expand,
-    )
