@@ -114,6 +114,12 @@ def q08_key_range(spark, sf_dir):
     )
 
 
+def q15_count_contains(spark, sf_dir):
+    """A1 — Index_Contains_count (capi/sidx_api.h:193-204)."""
+    rel = _rects_rel(spark, sf_dir)
+    return range_query.count_contains(rel, *W)
+
+
 def q11_internal_nodes(spark, sf_dir):
     """Q6 analog: subtree-granular containment — (node_cell, id) pairs."""
     rel = _rects_rel(spark, sf_dir)
@@ -311,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_ball_range": q12_ball_range,
         "q13_segment_range": q13_segment_range,
         "q14_batch_queries": q14_batch_queries,
+        "q15_count_contains": q15_count_contains,
         "q09_time_range": q09_time_range,
         "q10_moving_range": q10_moving_range,
         "q20_pip_join": q20_pip_join,
@@ -553,6 +560,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id FROM iv
             WHERE GREATEST(tx_lo, ty_lo, 0.0) <= LEAST(tx_hi, ty_hi, 1.0)
+        """,
+        "q15_count_contains": f"""
+            WITH rects AS ({_R})
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rects
+            WHERE {W[0]} <= xmin AND xmax <= {W[2]}
+              AND {W[1]} <= ymin AND ymax <= {W[3]}
         """,
         "q14_batch_queries": f"""
             WITH rects AS ({_R}), w AS ({td.WINDOWS_SQL.strip()})

@@ -25,6 +25,21 @@ from libspatialindex_spark.session import get_spark
 from libspatialindex_spark.sources import testdata as td
 
 
+def _scaling_extras() -> dict:
+    """Fold in the last N-vs-4N scaling run (scripts/bench_scaling.py)."""
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling_last.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        r = json.load(f)
+    return {
+        "scaling_efficiency_join_tile": r.get("scaling_efficiency_join_tile"),
+        "scaling_efficiency_full_pipeline": r.get("scaling_efficiency_full_pipeline"),
+        "scaling_efficiency_adjusted": r.get("adjusted_efficiency_join_tile"),
+        "vm_contention_factor": r.get("vm_contention_factor"),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -109,6 +124,7 @@ def main() -> None:
                 "scan_range_query_sec": round(scan_sec, 4),
                 "index_speedup": round(scan_sec / max(indexed_sec, 1e-9), 2),
                 "index_prune_factor": round(total_rows / max(pruned_rows, 1.0), 1),
+                **_scaling_extras(),
             }
         )
     )

@@ -179,6 +179,8 @@ def main() -> None:
         "pass_adjusted": adj_a >= 0.8 and adj_b >= 0.8,
     }
     print(json.dumps(report))
+    with open(os.path.join(REPO, "scaling_last.json"), "w") as f:
+        json.dump(report, f)
     stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(

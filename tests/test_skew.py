@@ -1,0 +1,56 @@
+"""Skew stress: the reference generator's y^skewness hot spot
+(``test/rtree/Generator.cc:61,70``, skewness=100 in test1) — salting must
+preserve EXACT result sets while spreading the hot cell."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from libspatialindex_spark import pipeline
+from libspatialindex_spark.config import EngineConfig
+from libspatialindex_spark.operators import spatial_join, tiling
+from libspatialindex_spark.sources import images as imgsrc
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    conf = EngineConfig()
+    # skewness 50 piles ~everything near y=0 — one scorching cell row
+    imgs = imgsrc.generate_images(spark, 4000, skewness=50.0, partitions=8)
+    # polygon layer with a "hot" polygon right on the hot spot
+    polys = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0, 1.0, 0.02),   # hot strip: catches most images
+            (2, 0.4, 0.4, 0.6, 0.6),    # cold box
+            (3, 0.0, 0.0, 0.3, 0.3),    # mixed
+        ],
+        ["poly_id", "pxmin", "pymin", "pxmax", "pymax"],
+    )
+    return conf, imgs, polys
+
+
+def test_hot_cell_is_real(spark, skewed):
+    conf, imgs, _ = skewed
+    stats = tiling.tile_stats(tiling.assign_tiles(imgs, conf)).toPandas()
+    assert stats.n_rows.max() > 20 * max(1, int(stats.n_rows.median()))
+
+
+def test_salted_join_equals_broadcast_under_skew(skewed):
+    conf, imgs, polys = skewed
+    box = pipeline.POLY_BOX
+    want = {
+        (r.image_id, r.poly_id)
+        for r in spatial_join.point_in_box_join(
+            imgs, polys, "x", "y", box, conf, broadcast_boxes=True
+        ).select("image_id", "poly_id").collect()
+    }
+    got = {
+        (r.image_id, r.poly_id)
+        for r in spatial_join.point_in_box_join(
+            imgs, polys, "x", "y", box, conf,
+            broadcast_boxes=False, salt=16,
+        ).select("image_id", "poly_id").collect()
+    }
+    assert got == want
+    # the hot polygon really dominates (skew is being exercised)
+    hot = sum(1 for _, pid in want if pid == 1)
+    assert hot > 0.5 * len(want)
