@@ -54,10 +54,17 @@ def _rects_rel(spark: SparkSession, sf_dir: str) -> SpatialRelation:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: range-intersection query over the indexed rect fixture."""
-    rel = _rects_rel(spark, "/root/testdata/sf0.001")
-    return range_query.intersects_query(rel, *W).select(
-        "id", "xmin", "ymin", "xmax", "ymax"
+    """Flagship: the north-rule dataflow — point-in-polygon spatial join +
+    deterministic tile assignment (broadcast dim layer, zero shuffles)."""
+    sf_dir = "/root/testdata/sf0.001"
+    pts = td.points(spark, sf_dir)
+    pol = td.polys(spark, sf_dir)
+    joined = spatial_join.point_in_box_join(
+        pts, pol, "x", "y", POLY_BOX, CONF, broadcast_boxes=True
+    )
+    tile = curves.cell_id(F.col("x"), F.col("y"), CONF, bits=CONF.tile_bits)
+    return joined.withColumn("tile_id", tile).select(
+        "id", "poly_id", "tile_id", "x", "y"
     )
 
 
