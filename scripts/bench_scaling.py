@@ -115,27 +115,35 @@ def run_leg(cores: int, n: int, sf_dir: str, img_path: str, pin: str | None) -> 
 
 
 def bandwidth_factor() -> float:
-    """All-cores memory-stream slowdown of one worker (numpy add, 256 MB)."""
+    """Per-worker slowdown of the ACTUAL codec kernel when every core runs
+    it — the shared-socket contention a real 4N-executor cluster (which
+    adds sockets with executors) does not have."""
     import multiprocessing as mp
     import time
 
     import numpy as np
 
-    def stream(res=None):
-        a = np.ones(32_000_000)
-        b = np.ones(32_000_000)
+    sys.path.insert(0, REPO)
+    from libspatialindex_spark.sources import images as im
+    from libspatialindex_spark.sources import png as codec
+
+    px = im.pixels_for(np.arange(64))
+    blobs = [codec.encode(px[i], "png") for i in range(64)]
+
+    def kernel(res=None, iters=150):
         t0 = time.time()
-        for _ in range(4):
-            a += b
+        for _ in range(iters):
+            for b, p in zip(blobs, px):
+                codec.encode(codec.decode(b, "png"), "png", level=0)
         dt = time.time() - t0
         if res is not None:
             res.put(dt)
         return dt
 
-    stream()  # warm allocator
-    alone = min(stream(), stream())
+    kernel(iters=20)  # warm
+    alone = min(kernel(), kernel())
     q: mp.Queue = mp.Queue()
-    procs = [mp.Process(target=stream, args=(q,)) for _ in range(os.cpu_count())]
+    procs = [mp.Process(target=kernel, args=(q,)) for _ in range(os.cpu_count())]
     for p in procs:
         p.start()
     times = [q.get() for _ in procs]
