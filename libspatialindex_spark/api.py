@@ -1,0 +1,137 @@
+"""Public API facade echoing the reference's C API surface (SURVEY.md §2.7,
+``include/spatialindex/capi/sidx_api.h``).
+
+The C API is what language bindings (Python's ``rtree`` package) call; this
+module is the equivalent binding layer for the Spark engine: one ``Index``
+handle with methods named after their ``sidx_api.h`` counterparts.
+
+=====================================  ====================================
+sidx_api.h                             here
+=====================================  ====================================
+``Index_Create / CreateWithStream``    ``Index.create(df, path, …)`` (bulk)
+``Index_InsertData``                   ``Index.insert(df)``
+``Index_DeleteData``                   ``Index.delete(ids)``
+``Index_Intersects_obj`` (:127)        ``Index.intersects(window)``
+``Index_Contains_obj`` (:134-158)      ``Index.contains(window)``
+``Index_NearestNeighbors_obj`` (:173)  ``Index.nearest(point, k)``
+``Index_Intersects_count`` (:193)      ``Index.intersects_count(window)``
+``Index_Contains_count`` (:199)        ``Index.contains_count(window)``
+``Index_GetBounds`` (:266)             ``Index.bounds()``
+``Index_GetLeaves`` (:272)             ``Index.leaves()`` (manifest rows)
+``Index_SetResultSetOffset/Limit``     ``offset=/limit=`` kwargs
+``Index_IsValid``                      ``Index.is_valid()``
+=====================================  ====================================
+
+Offset/limit are deterministic here (ordered by id) where the reference
+uses traversal order — documented divergence (SURVEY.md A2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from libspatialindex_spark.config import DEFAULT, EngineConfig
+from libspatialindex_spark.operators import (
+    index_build,
+    knn,
+    mutations,
+    range_query,
+)
+from libspatialindex_spark.operators.relation import BoxCols
+
+Window = tuple[float, float, float, float]
+
+
+@dataclass
+class Index:
+    """A stored spatial index handle (the ``IndexH`` analog)."""
+
+    stored: index_build.StoredIndex
+    box: BoxCols
+
+    # -- lifecycle -----------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        df: DataFrame,
+        path: str,
+        conf: EngineConfig = DEFAULT,
+        box: BoxCols | None = None,
+        **build_kwargs,
+    ) -> "Index":
+        """Bulk load (``Index_CreateWithStream``); see
+        :func:`operators.index_build.build_index` for partitioner options."""
+        box = box or BoxCols()
+        return cls(
+            stored=index_build.build_index(df, path, conf, box=box, **build_kwargs),
+            box=box,
+        )
+
+    @classmethod
+    def load(
+        cls,
+        spark: SparkSession,
+        path: str,
+        conf: EngineConfig = DEFAULT,
+        box: BoxCols | None = None,
+    ) -> "Index":
+        return cls(
+            stored=index_build.load_index(spark, path, conf), box=box or BoxCols()
+        )
+
+    def _rel(self):
+        return self.stored.relation(self.box)
+
+    @staticmethod
+    def _page(df: DataFrame, order_by: str, offset: int, limit: int | None):
+        if offset or limit is not None:
+            return range_query.with_offset_limit(df, order_by, offset, limit)
+        return df
+
+    # -- queries -------------------------------------------------------------
+
+    def intersects(self, w: Window, offset: int = 0, limit: int | None = None,
+                   order_by: str = "id") -> DataFrame:
+        return self._page(
+            range_query.intersects_query(self._rel(), *w), order_by, offset, limit
+        )
+
+    def contains(self, w: Window, offset: int = 0, limit: int | None = None,
+                 order_by: str = "id") -> DataFrame:
+        return self._page(
+            range_query.contains_what_query(self._rel(), *w), order_by, offset, limit
+        )
+
+    def nearest(self, px: float, py: float, k: int) -> DataFrame:
+        return knn.knn_query(self._rel(), px, py, k)
+
+    def intersects_count(self, w: Window) -> int:
+        return range_query.count_intersects(self._rel(), *w).collect()[0]["n"]
+
+    def contains_count(self, w: Window) -> int:
+        return range_query.count_contains(self._rel(), *w).collect()[0]["n"]
+
+    def bounds(self) -> tuple[float, float, float, float]:
+        r = range_query.bounds(self._rel()).collect()[0]
+        return (r["xmin"], r["ymin"], r["xmax"], r["ymax"])
+
+    def leaves(self) -> DataFrame:
+        """``Index_GetLeaves``: the bucket manifest (id ranges live in the
+        bucket files; per-bucket MBR + counts here)."""
+        return self.stored.manifest_totals()
+
+    # -- mutations ------------------------------------------------------------
+
+    def insert(self, rows: DataFrame, build_id: str = "insert") -> "Index":
+        mutations.insert_batch(self.stored, rows, box=self.box, build_id=build_id)
+        return self
+
+    def delete(self, victims: DataFrame, id_col: str = "id") -> "Index":
+        mutations.delete_rows(self.stored, victims, id_col=id_col, box=self.box)
+        return self
+
+    def is_valid(self) -> bool:
+        return self.stored.validate()
