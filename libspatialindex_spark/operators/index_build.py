@@ -39,10 +39,9 @@ hold more files and Spark splits them on read, so skew degrades smoothly.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import math
-import os
-import shutil
 from dataclasses import dataclass, field
 from functools import reduce
 
@@ -53,6 +52,7 @@ from pyspark.sql import functions as F
 from libspatialindex_spark.config import EngineConfig
 from libspatialindex_spark.functions import curves
 from libspatialindex_spark.operators.relation import BoxCols, SpatialRelation
+from libspatialindex_spark.plans import fs as FS
 from libspatialindex_spark.plans import manifest as M
 
 
@@ -178,7 +178,11 @@ class StoredIndex:
 
     @property
     def data_path(self) -> str:
-        return os.path.join(self.path, "data")
+        return FS.join(self.path, "data")
+
+    @property
+    def fs(self):
+        return FS.get_fs(self.spark, self.path)
 
     @property
     def bucket_shift(self) -> int:
@@ -302,11 +306,12 @@ def build_index(
     buckets, and sweeps stale uncommitted bucket dirs (crash cleanup)."""
     spark = df.sparkSession
     box = box or BoxCols()
-    data_path = os.path.join(path, "data")
+    data_path = FS.join(path, "data")
+    fs = FS.get_fs(spark, path)
 
     spec: PartitionSpec | None = None
     if resume:
-        spec = _load_spec(path)
+        spec, _ = _load_spec(fs, path)
     if spec is None:
         if partitioner == "zprefix":
             spec = PartitionSpec("zprefix", shift=_bucket_shift(conf))
@@ -362,13 +367,13 @@ def build_index(
     done: set[int] = set()
     if resume:
         done = M.committed_buckets(spark, path)
-        _sweep_uncommitted(data_path, done)
+        _sweep_uncommitted(fs, data_path, done)
         if done:
             keyed = keyed.filter(~F.col("bucket").isin([*done]))
-    elif os.path.isdir(path):
-        shutil.rmtree(path)
-    os.makedirs(path, exist_ok=True)
-    _save_spec(path, spec)
+    elif fs.isdir(path):
+        fs.delete(path)
+    fs.mkdirs(path)
+    _save_spec(fs, path, spec, conf)
 
     # The "external sort": one range shuffle on z, then in-partition sort —
     # rows land clustered so parquet row-group zone maps on z are tight.
@@ -385,8 +390,8 @@ def build_index(
     # only the newly-written bucket dirs — on resume the committed ones may
     # dwarf them.
     new_dirs = [
-        os.path.join(data_path, name)
-        for name in os.listdir(data_path)
+        FS.join(data_path, name)
+        for name in fs.listdir(data_path)
         if name.startswith("bucket=")
         and int(name.split("=", 1)[1]) not in done
     ]
@@ -398,34 +403,63 @@ def build_index(
     return idx
 
 
-def load_index(spark: SparkSession, path: str, conf: EngineConfig) -> StoredIndex:
-    spec = _load_spec(path)
+def load_index(
+    spark: SparkSession, path: str, conf: EngineConfig | None = None
+) -> StoredIndex:
+    """Open a stored index.  The layout-bearing config (world, grid_bits,
+    target_partitions, tile_bits) is restored from the persisted spec — the
+    analog of the reference's header page (``RTree.cc:1505-1551
+    loadHeader``): the stored z column was computed under the build-time
+    grid, so trusting a caller-supplied conf would silently mis-prune.
+    Raises when the spec file is absent (corrupt / not an index)."""
+    fs = FS.get_fs(spark, path)
+    spec, stored_conf = _load_spec(fs, path)
     if spec is None:
-        spec = PartitionSpec("zprefix", shift=_bucket_shift(conf))
-    return StoredIndex(spark=spark, path=path, conf=conf, spec=spec)
+        raise FileNotFoundError(
+            f"no boundaries.json under {path} — not a stored index "
+            "(refusing to guess a partition spec: pruning under a wrong "
+            "grid silently drops rows)"
+        )
+    base = conf or EngineConfig()
+    if stored_conf is not None:
+        base = dataclasses.replace(
+            base,
+            world=tuple(stored_conf["world"]),
+            grid_bits=int(stored_conf["grid_bits"]),
+            target_partitions=int(stored_conf["target_partitions"]),
+            tile_bits=int(stored_conf.get("tile_bits", base.tile_bits)),
+        )
+    return StoredIndex(spark=spark, path=path, conf=base, spec=spec)
 
 
-def _save_spec(path: str, spec: PartitionSpec) -> None:
-    with open(os.path.join(path, "boundaries.json"), "w") as f:
-        json.dump(spec.to_json(), f)
+def _save_spec(fs, path: str, spec: PartitionSpec, conf: EngineConfig) -> None:
+    d = spec.to_json()
+    # Persist the layout-bearing config next to the partitioner (storeHeader
+    # analog, RTree.cc:1445): a loader must use the build-time grid.
+    d["conf"] = {
+        "world": list(conf.world),
+        "grid_bits": conf.grid_bits,
+        "target_partitions": conf.target_partitions,
+        "tile_bits": conf.tile_bits,
+    }
+    fs.write_text(FS.join(path, "boundaries.json"), json.dumps(d))
 
 
-def _load_spec(path: str) -> PartitionSpec | None:
-    p = os.path.join(path, "boundaries.json")
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        d = json.load(f)
+def _load_spec(fs, path: str) -> tuple[PartitionSpec | None, dict | None]:
+    p = FS.join(path, "boundaries.json")
+    if not fs.exists(p):
+        return None, None
+    d = json.loads(fs.read_text(p))
     if "kind" not in d:  # legacy format
-        return None
-    return PartitionSpec.from_json(d)
+        return None, None
+    return PartitionSpec.from_json(d), d.get("conf")
 
 
-def _sweep_uncommitted(data_path: str, committed: set[int]) -> None:
+def _sweep_uncommitted(fs, data_path: str, committed: set[int]) -> None:
     """Remove bucket dirs written by a crashed attempt (no manifest row)."""
-    if not os.path.isdir(data_path):
+    if not fs.isdir(data_path):
         return
-    for name in os.listdir(data_path):
+    for name in fs.listdir(data_path):
         if not name.startswith("bucket="):
             continue
         try:
@@ -433,4 +467,4 @@ def _sweep_uncommitted(data_path: str, committed: set[int]) -> None:
         except ValueError:
             continue
         if b not in committed:
-            shutil.rmtree(os.path.join(data_path, name), ignore_errors=True)
+            fs.delete(FS.join(data_path, name))

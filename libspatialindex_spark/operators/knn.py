@@ -55,16 +55,15 @@ def knn_query(
 
     d2 = _dist2(rel, px, py)
 
-    def candidates(radius: float) -> DataFrame:
+    def candidates(radius: float, cap: bool = True) -> DataFrame:
         if radius < world_r:
             df = rel.pruned_for_box(
                 px - radius, py - radius, px + radius, py + radius
             )
         else:
             df = rel.df
-        return df.withColumn(dist_col, d2).filter(
-            F.col(dist_col) <= radius * radius
-        )
+        df = df.withColumn(dist_col, d2)
+        return df.filter(F.col(dist_col) <= radius * radius) if cap else df
 
     # Phase 1: ring expansion until the window certifies ≥ k candidates.
     radius = conf.knn_ring_init
@@ -73,7 +72,11 @@ def knn_query(
         radius *= conf.knn_ring_growth
         cand = candidates(radius)
     if radius >= world_r:
-        cand = candidates(world_r)  # may hold fewer than k entries in total
+        # Ring saturated: fewer than k entries within world_r.  In-world
+        # distances still reach sqrt(2)·world_r, and entries may lie outside
+        # the configured world box — so drop the distance cap entirely and
+        # consider ALL entries (the reference returns min(k, N) rows).
+        cand = candidates(world_r, cap=False)
 
     # Persist: phases 2-3 and the caller's final action all reuse the
     # candidate set (Spark's LRU evicts it naturally; an eager unpersist

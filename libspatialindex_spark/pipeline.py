@@ -69,9 +69,9 @@ def materialize_images(
     steady-state pipeline is measured from storage, not from the synthetic
     generator (which is a *source*, and a Python-heavy one: timing it would
     measure the fixture, not the engine)."""
-    import os
+    from libspatialindex_spark.plans import fs as FSM
 
-    if not os.path.isdir(path):
+    if not FSM.get_fs(spark, path).isdir(path):
         imgsrc.generate_images(
             spark, n_images, skewness=skewness, partitions=partitions
         ).write.mode("overwrite").parquet(path)
@@ -128,29 +128,28 @@ def run_to_storage(
     The group derives deterministically from each row's (x, y), so the
     filter prunes *before* the expensive re-encode stage.
     """
-    import os
-
     from pyspark.sql import functions as F  # noqa: F811
+
+    from libspatialindex_spark.plans import fs as FSM
 
     conf = conf or EngineConfig()
     spark = images.sparkSession
+    fs = FSM.get_fs(spark, out_path)
     n_groups_bits = 2 * group_bits
     shift = 2 * conf.tile_bits - n_groups_bits  # row-major tile id → group
-    data_path = os.path.join(out_path, "data")
-    man_path = os.path.join(out_path, "manifest")
+    data_path = FSM.join(out_path, "data")
+    man_path = FSM.join(out_path, "manifest")
 
     done: set[int] = set()
-    if resume and os.path.isdir(man_path) and any(
-        f.endswith(".parquet") for f in os.listdir(man_path)
+    if resume and fs.isdir(man_path) and any(
+        f.endswith(".parquet") for f in fs.listdir(man_path)
     ):
         done = {
             r["grp"]
             for r in spark.read.parquet(man_path).select("grp").distinct().collect()
         }
-    elif os.path.isdir(out_path) and not resume:
-        import shutil
-
-        shutil.rmtree(out_path)
+    elif fs.isdir(out_path) and not resume:
+        fs.delete(out_path)
 
     tiled_src = tiling.assign_tiles(images, conf)
     grp = (F.col("tile_id") / F.lit(1 << shift)).cast("long")
@@ -158,16 +157,11 @@ def run_to_storage(
     if done:
         tiled_src = tiled_src.filter(~F.col("grp").isin([*done]))
         # sweep uncommitted group dirs from a crashed attempt
-        if os.path.isdir(data_path):
-            import shutil
-
-            for name in os.listdir(data_path):
-                if name.startswith("grp="):
-                    g = int(name.split("=", 1)[1])
-                    if g not in done:
-                        shutil.rmtree(
-                            os.path.join(data_path, name), ignore_errors=True
-                        )
+        for name in fs.listdir(data_path):
+            if name.startswith("grp="):
+                g = int(name.split("=", 1)[1])
+                if g not in done:
+                    fs.delete(FSM.join(data_path, name))
 
     joined = spatial_join.point_in_box_join(
         tiled_src, polys, "x", "y", POLY_BOX, conf,
@@ -177,8 +171,8 @@ def run_to_storage(
     out.write.partitionBy("grp").mode("append").parquet(data_path)
 
     new_dirs = [
-        os.path.join(data_path, n)
-        for n in os.listdir(data_path)
+        FSM.join(data_path, n)
+        for n in fs.listdir(data_path)
         if n.startswith("grp=") and int(n.split("=", 1)[1]) not in done
     ]
     if new_dirs:

@@ -20,16 +20,24 @@ It serves four roles at once (SURVEY.md §2.2 M3/M4, §2.5 A3):
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from libspatialindex_spark.plans import fs as FS
 
 MANIFEST_COLS = [
     "bucket", "zmin", "zmax", "xmin", "ymin", "xmax", "ymax",
     "n_rows", "n_bytes", "max_ex", "max_ey", "build_id",
 ]
+
+# Explicit schema — pandas round-trips (manifest rewrite on delete) must not
+# depend on inference, which fails on an empty frame.
+MANIFEST_SCHEMA = (
+    "bucket long, zmin long, zmax long, "
+    "xmin double, ymin double, xmax double, ymax double, "
+    "n_rows long, n_bytes long, max_ex double, max_ey double, "
+    "build_id string"
+)
 
 
 def manifest_for(
@@ -67,31 +75,14 @@ def manifest_for(
 
 
 def manifest_path(index_path: str) -> str:
-    return os.path.join(index_path, "manifest")
-
-
-def boundaries_path(index_path: str) -> str:
-    return os.path.join(index_path, "boundaries.json")
-
-
-def save_boundaries(index_path: str, boundaries: list[int]) -> None:
-    os.makedirs(index_path, exist_ok=True)
-    with open(boundaries_path(index_path), "w") as f:
-        json.dump({"z_boundaries": boundaries}, f)
-
-
-def load_boundaries(index_path: str) -> list[int] | None:
-    p = boundaries_path(index_path)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)["z_boundaries"]
+    return FS.join(index_path, "manifest")
 
 
 def read_manifest(spark: SparkSession, index_path: str) -> DataFrame | None:
     p = manifest_path(index_path)
-    if not os.path.isdir(p) or not any(
-        f.endswith(".parquet") for f in os.listdir(p)
+    fs = FS.get_fs(spark, index_path)
+    if not fs.isdir(p) or not any(
+        f.endswith(".parquet") for f in fs.listdir(p)
     ):
         return None
     return spark.read.parquet(p)

@@ -4,10 +4,13 @@ The reference's only "stream" is the bulk-load pull iterator
 (``IDataStream``, ``SpatialIndex.h:134-139``) — batch, not streaming.
 This module goes beyond it: a parquet-directory stream of new entries is
 folded into an existing StoredIndex via ``foreachBatch`` → the M1 insert
-path (``operators/mutations.insert_batch``), giving exactly-once,
-bucket-local incremental indexing with per-batch manifest lineage
-(build_id = ``stream-<epoch>``), checkpointed by Spark's streaming commit
-log.
+path (``operators/mutations.insert_batch``).  ``foreachBatch`` alone is
+at-least-once (a failed epoch replays); the sink upgrades that to
+effective exactly-once by keying each epoch's insert on
+``build_id = stream-<epoch>``: a replayed epoch whose build_id already
+sits in the manifest is skipped, and an epoch that crashed mid-insert
+first sweeps its own debris files (``mutations.insert_batch``
+``idempotent=True`` protocol) before re-running.
 
 At scale this is the standing ingestion job: micro-batches append into
 bucket dirs; readers always see a manifest-consistent index because the
@@ -47,6 +50,7 @@ def stream_into_index(
             box=box,
             bytes_col=bytes_col,
             build_id=f"stream-{epoch_id}",
+            idempotent=True,
         )
 
     stream = (
