@@ -210,6 +210,7 @@ def q23_pip_join_salted(spark, sf_dir):
 
 
 ANN_K = 20
+LSH_BANDS, LSH_ROWS = 20, 4  # q44 banded sign-LSH config (θ=0.4, recall≥0.98)
 
 
 def _docs(spark, sf_dir):
@@ -277,13 +278,16 @@ def q40_ann_quantized(spark, sf_dir):
 
 
 def q41_ann_cosine(spark, sf_dir):
-    """Brute-force cosine top-k (float summation order differs across
-    engines → rows-only check; exactness is pytest-verified vs numpy)."""
+    """Brute-force cosine top-k on quantized arithmetic: integer dot/norms,
+    one float division — bit-identical cross-engine, tie-inclusive."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.ann_topk_cosine(emb, _qvec(spark, sf_dir), ANN_K)
+    return similarity.ann_topk_cosine_quantized(emb, _qvec(spark, sf_dir), ANN_K)
 
 
 def q42_ann_lsh(spark, sf_dir):
+    """LSH-pruned cosine top-k: quantized-plane sign signature (integer
+    dots → engine-independent buckets), Hamming ≤ 2 multiprobe, quantized
+    exact re-rank.  Fully oracle-checkable."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.ann_lsh_cosine(emb, _qvec(spark, sf_dir), ANN_K)
 
@@ -295,9 +299,13 @@ def q43_embed_near_dup(spark, sf_dir):
 
 
 def q44_embed_near_dup_lsh(spark, sf_dir):
-    """LSH-bucketed embedding near-dup (scale path; rows-only check)."""
+    """Banded sign-LSH embedding near-dup (the scale path): B=20 bands ×
+    r=4 quantized planes, union candidates across bands, exact quantized-
+    cosine verify.  Oracle replicates the banding bit-for-bit in SQL."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.lsh_near_dup_pairs(emb, threshold=0.4)
+    return similarity.lsh_near_dup_pairs(
+        emb, threshold=0.4, bands=LSH_BANDS, rows_per_band=LSH_ROWS, seed=42
+    )
 
 
 def q50_event_hourly_rollup(spark, sf_dir):
@@ -456,6 +464,138 @@ def _ann_oracle() -> str:
         )
         SELECT vec_id, qdist FROM d WHERE qdist <= (SELECT kd FROM kth)
     """
+
+# Quantized-vector CTE shared by the embedding oracles (q41-q44): exact
+# integer lattice, replicating similarity._quant.
+_QV = """
+  SELECT vec_id,
+    list_transform(embedding,
+      e -> CAST(FLOOR(CAST(e AS DOUBLE) * 100000.0 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+"""
+
+_N2 = "CAST(list_aggregate(list_transform(q, v -> v * v), 'sum') AS BIGINT)"
+
+
+def _planes_values(planes) -> str:
+    """Integer hyperplanes as a DuckDB VALUES relation pl(p, w)."""
+    rows = ", ".join(
+        f"({p}, [{', '.join(str(int(w)) for w in plane)}])"
+        for p, plane in enumerate(planes)
+    )
+    return f"(VALUES {rows}) pl(p, w)"
+
+
+_PLANE_DOT = (
+    "CAST(list_aggregate(list_transform(generate_series(1, 64), "
+    "i -> v.q[i] * pl.w[i]), 'sum') AS BIGINT)"
+)
+
+
+def _ann_cosine_oracle() -> str:
+    """q41: tie-inclusive top-k by quantized cosine vs vec 0."""
+    return f"""
+        WITH qv AS ({_QV}),
+        n AS (SELECT vec_id, q, {_N2} AS n2 FROM qv),
+        qside AS (SELECT q AS qq, n2 AS qn2 FROM n WHERE vec_id = 0),
+        d AS (
+          SELECT n.vec_id,
+            CAST(CAST(list_aggregate(
+              list_transform(generate_series(1, 64),
+                             i -> n.q[i] * qside.qq[i]), 'sum') AS BIGINT)
+                 AS DOUBLE)
+              / SQRT(CAST(n.n2 AS DOUBLE) * CAST(qside.qn2 AS DOUBLE))
+              AS cos_q
+          FROM n, qside
+        ),
+        kth AS (
+          SELECT MIN(cos_q) AS kd
+          FROM (SELECT cos_q FROM d ORDER BY cos_q DESC LIMIT {ANN_K})
+        )
+        SELECT vec_id, cos_q FROM d WHERE cos_q >= (SELECT kd FROM kth)
+    """
+
+
+def _ann_lsh_oracle() -> str:
+    """q42: quantized-plane sign signature, Hamming ≤ 2 probe set around
+    vec 0's signature, tie-inclusive quantized-cosine top-k on candidates."""
+    planes = similarity.quantized_planes(64, 8, seed=42)
+    return f"""
+        WITH qv AS ({_QV}),
+        sigs AS (
+          SELECT v.vec_id,
+            CAST(SUM(CASE WHEN {_PLANE_DOT} > 0
+                     THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS sig
+          FROM qv v, {_planes_values(planes)}
+          GROUP BY v.vec_id
+        ),
+        qsig AS (SELECT sig AS s0 FROM sigs WHERE vec_id = 0),
+        n AS (SELECT vec_id, q, {_N2} AS n2 FROM qv),
+        qside AS (SELECT q AS qq, n2 AS qn2 FROM n WHERE vec_id = 0),
+        cand AS (
+          SELECT s.vec_id FROM sigs s, qsig
+          WHERE bit_count(xor(s.sig, qsig.s0)) <= 2
+        ),
+        d AS (
+          SELECT n.vec_id,
+            CAST(CAST(list_aggregate(
+              list_transform(generate_series(1, 64),
+                             i -> n.q[i] * qside.qq[i]), 'sum') AS BIGINT)
+                 AS DOUBLE)
+              / SQRT(CAST(n.n2 AS DOUBLE) * CAST(qside.qn2 AS DOUBLE))
+              AS cos_q
+          FROM n, qside
+          WHERE n.vec_id IN (SELECT vec_id FROM cand)
+        ),
+        kth AS (
+          SELECT MIN(cos_q) AS kd
+          FROM (SELECT cos_q FROM d ORDER BY cos_q DESC LIMIT {ANN_K})
+        )
+        SELECT vec_id, cos_q FROM d WHERE cos_q >= (SELECT kd FROM kth)
+    """
+
+
+def _lsh_near_dup_oracle() -> str:
+    """q44: full replication of the banded sign-LSH — B×r quantized-plane
+    sign bits per vector, r-bit band keys, candidates = union over bands of
+    exact key matches, quantized-cosine verify ≥ 0.4.  Every step is
+    integer math (one final float div/sqrt), so the candidate set — not
+    just the verified output — is a cross-engine fact."""
+    planes = similarity.quantized_planes(64, LSH_BANDS * LSH_ROWS, seed=42)
+    return f"""
+        WITH qv AS ({_QV}),
+        keys AS (
+          SELECT v.vec_id, pl.p // {LSH_ROWS} AS band,
+            CAST(SUM(CASE WHEN {_PLANE_DOT} > 0
+                     THEN (1 << (pl.p % {LSH_ROWS})) ELSE 0 END) AS BIGINT)
+              AS bkey
+          FROM qv v, {_planes_values(planes)}
+          GROUP BY v.vec_id, pl.p // {LSH_ROWS}
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+          FROM keys a JOIN keys b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+        ),
+        n AS (SELECT vec_id, q, {_N2} AS n2 FROM qv),
+        p AS (
+          SELECT c.id1, c.id2,
+            CAST(list_aggregate(
+              list_transform(generate_series(1, 64),
+                             i -> a.q[i] * b.q[i]), 'sum') AS BIGINT) AS dot,
+            a.n2 AS na, b.n2 AS nb
+          FROM cand c
+          JOIN n a ON a.vec_id = c.id1
+          JOIN n b ON b.vec_id = c.id2
+        )
+        SELECT id1, id2,
+          CAST(dot AS DOUBLE)
+            / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos_q
+        FROM p
+        WHERE CAST(dot AS DOUBLE)
+            / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.4
+    """
+
 
 _INTERSECTS_W = (
     f"NOT (xmin > {W[2]} OR xmax < {W[0]}) AND "
@@ -665,6 +805,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q35_minhash_pairs": _minhash_oracle(),
         "q40_ann_quantized": _ann_oracle(),
+        "q41_ann_cosine": _ann_cosine_oracle(),
+        "q42_ann_lsh": _ann_lsh_oracle(),
+        "q44_embed_near_dup_lsh": _lsh_near_dup_oracle(),
         "q50_event_hourly_rollup": """
             SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hour_epoch,
                    event_type,

