@@ -256,10 +256,10 @@ def q35_minhash_pairs(spark, sf_dir):
 
 
 def q36_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (pandas-UDF signature → rows-only check)."""
-    return dedup.simhash_near_pairs(
-        _docs(spark, sf_dir), max_hamming=16, prefix_bits=8
-    )
+    """SimHash near-dup pairs: lossless pigeonhole blocking (h+1 = 9 bit
+    blocks) means the blocked result EQUALS brute force — the oracle
+    computes signatures in SQL and compares all pairs directly."""
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=8)
 
 
 def _qvec(spark, sf_dir):
@@ -441,6 +441,39 @@ def _minhash_oracle() -> str:
           JOIN sh b ON b.doc_id = c.id2
         )
         SELECT id1, id2, jaccard FROM verified WHERE jaccard >= 0.4
+    """
+
+
+def _simhash_oracle(max_hamming: int = 8) -> str:
+    """Brute-force SimHash oracle: replicate ``simhash60_py`` (md5-derived
+    60-bit gram hashes, per-bit majority vote) in SQL, then compare ALL
+    pairs by exact Hamming — the Spark side's pigeonhole blocking is
+    lossless, so the sets must be equal."""
+    h = _H60.format(s="g")
+    # per-bit majority: votes_b > 0  ⟺  2·ones_b > n_grams
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * list_aggregate(list_transform(hv, "
+        f"h -> (h >> {b}) & 1), 'sum') > len(hv) "
+        f"THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(60)
+    )
+    return f"""
+        WITH sh AS (
+          SELECT doc_id,
+            list_distinct(CASE WHEN length(text) < 8 THEN [text]
+              ELSE list_transform(generate_series(1, length(text) - 7),
+                                  i -> substring(text, i, 8)) END) AS grams
+          FROM documents
+        ),
+        hs AS (
+          SELECT doc_id, list_transform(grams, g -> {h}) AS hv FROM sh
+        ),
+        sig AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS s FROM hs)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+        FROM sig a, sig b
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.s, b.s)) <= {max_hamming}
     """
 
 
@@ -804,6 +837,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_H60.format(s='text')} AS fp FROM documents
         """,
         "q35_minhash_pairs": _minhash_oracle(),
+        "q36_simhash_pairs": _simhash_oracle(),
         "q40_ann_quantized": _ann_oracle(),
         "q41_ann_cosine": _ann_cosine_oracle(),
         "q42_ann_lsh": _ann_lsh_oracle(),

@@ -224,30 +224,70 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_blocks(max_hamming: int, sig_bits: int = 60) -> list[tuple[int, int]]:
+    """(offset, width) of the ``max_hamming + 1`` contiguous bit blocks.
+
+    Pigeonhole: a pair differing in ≤ h bits cannot touch all h+1 blocks,
+    so it matches at least one block key exactly — blocking is LOSSLESS
+    (recall 1.0 by construction, the Manku/Charikar multi-table scheme with
+    the minimal table count)."""
+    n_blocks = max_hamming + 1
+    base, extra = divmod(sig_bits, n_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    offs, acc = [], 0
+    for w in widths:
+        offs.append((acc, w))
+        acc += w
+    return offs
+
+
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
-    prefix_bits: int = 12,
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on the top ``prefix_bits`` of the
-    signature (cheap LSH), verify Hamming ≤ max_hamming."""
+    """SimHash near-dup pairs with **lossless multi-block blocking**: the
+    60-bit signature splits into ``max_hamming + 1`` blocks; candidates are
+    the union over blocks of exact block-key matches (equi-join shuffle per
+    block — same OR-of-bands shape as minhash), verified by exact Hamming.
+
+    By pigeonhole the candidate set contains EVERY pair with Hamming ≤
+    max_hamming, so the result equals the brute-force pair set — which is
+    exactly what the DuckDB oracle computes.  Selectivity: block width
+    ``60/(h+1)`` bits → ``2^(60/(h+1))`` buckets per table; production
+    configs keep h ≤ 8 (h=3 → 4 blocks of 15 bits is the classic web-dedup
+    setting)."""
     sig = simhash60(F.col(text_col))
     # persist: the pandas-UDF signature feeds both join sides
     base = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).persist()
-    shift = 60 - prefix_bits
-    blocked = base.withColumn("_blk", F.shiftright("_sig", shift))
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright("_sig", off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("val"),
+            )
+            for i, (off, w) in enumerate(simhash_blocks(max_hamming))
+        ]
+    )
+    blocked = base.select(
+        "_id", "_sig", F.explode(keys).alias("bk")
+    ).select(
+        "_id", "_sig", F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val")
+    )
     a = blocked.select(
-        F.col("_id").alias("id1"), F.col("_sig").alias("s1"), "_blk"
+        F.col("_id").alias("id1"), F.col("_sig").alias("s1"), "blk", "val"
     )
     b = blocked.select(
-        F.col("_id").alias("id2"), F.col("_sig").alias("s2"), "_blk"
+        F.col("_id").alias("id2"), F.col("_sig").alias("s2"), "blk", "val"
     )
     return (
-        a.join(b, on="_blk")
+        a.join(b, on=["blk", "val"])
         .filter(F.col("id1") < F.col("id2"))
-        .withColumn("hamming", hamming64(F.col("s1"), F.col("s2")))
+        .dropDuplicates(["id1", "id2"])
+        .withColumn("hamming", hamming64(F.col("s1"), F.col("s2")).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )

@@ -107,13 +107,36 @@ def texts_lookup(pdf, did):
     return pdf.loc[pdf.doc_id == did, "text"].iloc[0]
 
 
-def test_simhash_near_pairs_verified(spark, docs, docs_pdf):
-    pairs = dedup.simhash_near_pairs(docs, max_hamming=16, prefix_bits=8).collect()
-    texts = dict(zip(docs_pdf.doc_id, docs_pdf.text))
-    for r in pairs[:20]:
-        s1 = dedup.simhash60_py(texts[r.id1])
-        s2 = dedup.simhash60_py(texts[r.id2])
-        assert bin(s1 ^ s2).count("1") == r.hamming <= 16
+def test_simhash_near_pairs_lossless_vs_bruteforce(spark, docs, docs_pdf):
+    """Pigeonhole multi-block blocking must equal the brute-force pair set
+    (recall 1.0 by construction — VERDICT r1 #2)."""
+    h = 8
+    got = {
+        (r.id1, r.id2): r.hamming
+        for r in dedup.simhash_near_pairs(docs, max_hamming=h).collect()
+    }
+    sigs = {
+        did: dedup.simhash60_py(t)
+        for did, t in zip(docs_pdf.doc_id, docs_pdf.text)
+    }
+    ids = sorted(sigs)
+    want = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= h
+    }
+    assert got == want and len(want) > 0
+
+
+def test_simhash_blocks_partition_exactly():
+    for h in (3, 8, 16):
+        blocks = dedup.simhash_blocks(h)
+        assert len(blocks) == h + 1
+        covered = sorted(
+            bit for off, w in blocks for bit in range(off, off + w)
+        )
+        assert covered == list(range(60))  # disjoint, complete
 
 
 @pytest.fixture(scope="module")
