@@ -91,3 +91,37 @@ def test_salted_join_spreads_partitions(parts):
     p = _plan(j)
     # the salted path is an equi-join on (cell, _salt) → a real shuffle key
     assert "_salt" in p
+
+
+def test_minhash_band_shuffle_carries_no_shingles(spark):
+    """VERDICT r1 #10: the banded candidate exchange must ship only
+    (id, band, band-signature) — shingle arrays join back by id later."""
+    from libspatialindex_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dedup.minhash_lsh_pairs(docs, threshold=0.4)
+    p = _plan(out)
+    for frag in p.split("Exchange hashpartitioning("):
+        keys = frag.split(")", 1)[0]
+        if "band" in keys and "bsig" in keys:
+            # the project feeding this exchange must not carry _sh
+            above = frag.split("+- ", 2)
+            assert "_sh" not in above[1] if len(above) > 1 else True
+    # global property: no exchange keyed on band/bsig references _sh
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(band[^\n]*", p):
+        assert "_sh" not in m.group(0)
+
+
+def test_lsh_near_dup_band_shuffle_carries_no_vectors(spark):
+    """Same join-back discipline for the embedding banded LSH (q44)."""
+    from libspatialindex_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = similarity.lsh_near_dup_pairs(emb, 0.4)
+    p = _plan(out)
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(band[^\n]*", p):
+        assert "_q" not in m.group(0) and "embedding" not in m.group(0)
