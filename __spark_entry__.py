@@ -165,10 +165,14 @@ MQ = (0.0, 512.0)  # Q10 query time interval [t0, t1]
 
 
 def q09_time_range(spark, sf_dir):
-    """MVR-tree time-versioned range query (SURVEY.md Q9)."""
+    """MVR-tree time-versioned range query (SURVEY.md Q9): versions are
+    folded from the timestamped insert/delete op stream (every third id is
+    deleted mid-life and re-inserted with a shifted box — true multi-
+    version), query dedups ids across versions (visitedData semantics)."""
     td.register_views(spark, sf_dir)
-    df = spark.sql(td.RECTS_T_SQL)
-    rel = SpatialRelation(df, CONF, max_extent=(td.MAX_EXTENT, td.MAX_EXTENT))
+    ops = spark.sql(td.MVR_OPS_SQL)
+    vers = temporal.versions_from_ops(ops)
+    rel = SpatialRelation(vers, CONF, max_extent=(td.MAX_EXTENT, td.MAX_EXTENT))
     return temporal.time_range_query(rel, *W, *TQ).select("id")
 
 
@@ -755,8 +759,8 @@ def oracle_sql() -> dict[str, str]:
               AND NOT (rects.ymin > w.qymax OR rects.ymax < w.qymin)
         """,
         "q09_time_range": f"""
-            WITH rt AS ({td.RECTS_T_SQL.strip()})
-            SELECT id FROM rt
+            WITH v AS ({td.MVR_VERSIONS_SQL.strip()})
+            SELECT DISTINCT id FROM v
             WHERE tstart < {TQ[1]} AND tend > {TQ[0]}
               AND {_INTERSECTS_W}
         """,

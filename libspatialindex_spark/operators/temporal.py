@@ -2,11 +2,13 @@
 
 Q9 (MVR-tree analog, ``src/mvrtree/MVRTree.cc:1233-1293``): entries carry a
 right-open validity interval ``[tstart, tend)`` (``tools/Tools.h:80-84``,
-``IT_RIGHTOPEN``); a time-range query selects entries whose interval
-intersects the query interval AND whose MBR passes the spatial predicate.
-The reference dedups results across tree versions via a ``visitedData``
-set; here an entry exists once, so dedup is a no-op ``dropDuplicates``
-guard retained for parity.
+``IT_RIGHTOPEN``) derived by folding the timestamped insert/delete op
+stream (:func:`versions_from_ops` — ``test/mvrtree/Generator.cc:79-81``
+semantics, re-inserts create new versions of the same id).  A time-range
+query selects versions whose interval intersects the query interval AND
+whose MBR passes the spatial predicate; ids matched by several live
+versions are emitted ONCE — the reference's ``visitedData`` dedup set
+(``MVRTree.cc:1283-1291``) is the ``dropDuplicates`` on id.
 
 Q10 (TPR-tree analog, ``src/tprtree/TPRTree.cc:1207-1252``): entries are
 linear trajectories ``pos(t) = p + v·t``; a query (window, [t0, t1]) emits
@@ -28,6 +30,43 @@ from libspatialindex_spark.functions import geometry as G
 from libspatialindex_spark.operators.relation import SpatialRelation
 
 _FAR = 1.0e18  # empty-interval sentinel
+
+
+def versions_from_ops(
+    ops: DataFrame,
+    id_col: str = "id",
+    op_col: str = "op",
+    t_col: str = "t",
+    box_cols: tuple[str, str, str, str] = ("xmin", "ymin", "xmax", "ymax"),
+) -> DataFrame:
+    """Fold a timestamped insert/delete op stream into validity intervals.
+
+    The MVR structure's entries are (shape, id, [tstart, tend)) born by an
+    INSERT and closed by the DELETE of the exact same (mbr, id) — the
+    ``deleteData`` contract (``RTree.cc:599-608`` locates the leaf by exact
+    (mbr, id); ``test/mvrtree/Generator.cc:79-81`` emits exactly such a
+    timeline).  An entry never deleted stays open (tend = +inf).
+
+    One equi-join on (id, mbr) — shuffles once on the id+box key; at scale
+    the op log is partitioned by id so the join co-locates."""
+    ins = ops.filter(F.col(op_col) == 1)
+    dels = ops.filter(F.col(op_col) == 0).select(
+        F.col(id_col).alias("_did"),
+        *[F.col(c).alias(f"_d_{c}") for c in box_cols],
+        F.col(t_col).alias("_dt"),
+    )
+    cond = (F.col(id_col) == F.col("_did"))
+    for c in box_cols:
+        cond = cond & (F.col(c) == F.col(f"_d_{c}"))
+    return (
+        ins.join(dels, on=cond, how="left")
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in box_cols],
+            F.col(t_col).alias("tstart"),
+            F.coalesce(F.col("_dt"), F.lit(_FAR)).alias("tend"),
+        )
+    )
 
 
 def interval_overlaps(

@@ -83,6 +83,55 @@ SELECT r.*,
 FROM ({RECTS_SQL.strip()}) r
 """
 
+# MVR op-stream (SURVEY.md Q9, ``test/mvrtree/Generator.cc:79-81``): a
+# timestamped insert/delete timeline.  Every id is inserted at t0 and
+# deleted at t0+lifespan; every third id is additionally deleted mid-life
+# and RE-INSERTED with a shifted box (a second version) — so the version
+# table genuinely holds multiple versions per id and the query-side dedup
+# (MVRTree.cc:1283-1291 visitedData) is exercised, not vacuous.
+# All times are integer-valued doubles, all shifts dyadic — exact in both
+# engines.  op: 1=INSERT, 0=DELETE (the reference's op-file encoding).
+MVR_OPS_SQL = f"""
+WITH r AS ({RECTS_SQL.strip()}),
+base AS (
+  SELECT DISTINCT id, xmin, ymin, xmax, ymax,
+    CAST((id * 7919 + 3) % 1000 AS DOUBLE) AS t0,
+    CAST(2 + (id * 104729 + 5) % 64 AS DOUBLE) AS lifespan,
+    CAST(1 + (id * 40503 + 7) % (1 + (id * 104729 + 5) % 64) AS DOUBLE)
+      AS mid_off,
+    (id % 3 = 0) AS has_v2,
+    CAST((id * 2246822519 + 41) % 4096 AS DOUBLE) / {SCALE}.0 AS dx,
+    CAST((id * 1779033703 + 59) % 4096 AS DOUBLE) / {SCALE}.0 AS dy
+  FROM r
+)
+SELECT 1 AS op, id, t0 AS t, xmin, ymin, xmax, ymax FROM base
+UNION ALL
+SELECT 0 AS op, id,
+       CASE WHEN has_v2 THEN t0 + mid_off ELSE t0 + lifespan END AS t,
+       xmin, ymin, xmax, ymax FROM base
+UNION ALL
+SELECT 1 AS op, id, t0 + mid_off AS t,
+       xmin + dx, ymin + dy, xmax + dx, ymax + dy FROM base WHERE has_v2
+UNION ALL
+SELECT 0 AS op, id, t0 + lifespan AS t,
+       xmin + dx, ymin + dy, xmax + dx, ymax + dy FROM base WHERE has_v2
+"""
+
+# The fold of the op stream into validity intervals: a DELETE matches the
+# exact (mbr, id) it inserts — precisely ``deleteData``'s contract
+# (``RTree.cc:599-608`` findLeaf by exact (mbr, id)).  Shared by the DuckDB
+# oracle; the engine-side fold is ``temporal.versions_from_ops``.
+MVR_VERSIONS_SQL = f"""
+WITH ops AS ({MVR_OPS_SQL.strip()}),
+ins AS (SELECT * FROM ops WHERE op = 1),
+del AS (SELECT * FROM ops WHERE op = 0)
+SELECT ins.id, ins.xmin, ins.ymin, ins.xmax, ins.ymax,
+       ins.t AS tstart, del.t AS tend
+FROM ins JOIN del
+  ON ins.id = del.id AND ins.xmin = del.xmin AND ins.ymin = del.ymin
+ AND ins.xmax = del.xmax AND ins.ymax = del.ymax
+"""
+
 # Moving points (TPR analog, SURVEY.md Q10): position + velocity per axis,
 # reference time 0.  Velocities are dyadic (k - 32)/2^20 with k in [0, 64).
 MOVING_SQL = f"""

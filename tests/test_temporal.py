@@ -103,3 +103,63 @@ def test_moving_enters_window_later(spark):
     )
     got = {r.id for r in temporal.moving_range_query(df, *W, 0.0, 100.0).collect()}
     assert got == {1}
+
+# ------------------------------------------------------- MVR multi-version --
+
+
+def test_versions_from_ops_fold(spark):
+    """Insert/delete timeline folds into validity intervals; re-insert of
+    the same id with a different box is a distinct version; an entry never
+    deleted stays open."""
+    rows = [
+        (1, 7, 0.1, 0.1, 0.2, 0.2, 10.0),   # op=1 insert v1
+        (0, 7, 0.1, 0.1, 0.2, 0.2, 20.0),   # delete v1
+        (1, 7, 0.3, 0.3, 0.4, 0.4, 20.0),   # re-insert (v2, moved box)
+        (0, 7, 0.3, 0.3, 0.4, 0.4, 50.0),   # delete v2
+        (1, 8, 0.5, 0.5, 0.6, 0.6, 5.0),    # never deleted
+    ]
+    ops = spark.createDataFrame(
+        rows, "op int, id long, xmin double, ymin double, "
+              "xmax double, ymax double, t double"
+    )
+    v = {
+        (r.id, r.tstart): (r.tend, r.xmin)
+        for r in temporal.versions_from_ops(ops).collect()
+    }
+    assert v[(7, 10.0)] == (20.0, 0.1)
+    assert v[(7, 20.0)] == (50.0, 0.3)
+    assert v[(8, 5.0)][0] > 1e17  # open interval
+    assert len(v) == 3
+
+
+def test_mvr_query_dedups_across_versions(spark, conf):
+    """An id whose v1 AND v2 both match the (time, window) query appears
+    exactly once (MVRTree.cc:1283-1291 visitedData semantics)."""
+    rows = [
+        (1, 7, 0.30, 0.30, 0.35, 0.35, 10.0),
+        (0, 7, 0.30, 0.30, 0.35, 0.35, 30.0),
+        (1, 7, 0.31, 0.31, 0.36, 0.36, 30.0),  # both versions hit W below
+        (0, 7, 0.31, 0.31, 0.36, 0.36, 60.0),
+        (1, 9, 0.90, 0.90, 0.95, 0.95, 10.0),  # spatially out
+        (0, 9, 0.90, 0.90, 0.95, 0.95, 60.0),
+    ]
+    ops = spark.createDataFrame(
+        rows, "op int, id long, xmin double, ymin double, "
+              "xmax double, ymax double, t double"
+    )
+    vers = temporal.versions_from_ops(ops)
+    rel = SpatialRelation(vers, conf)
+    got = temporal.time_range_query(rel, *W, 0.0, 100.0).select("id").collect()
+    assert [r.id for r in got] == [7]  # once, despite two matching versions
+
+
+def test_mvr_fixture_has_multiversion_ids(spark):
+    """The derived op-stream fixture must actually exercise versioning."""
+    td.register_views(spark, SF_DIR)
+    vers = temporal.versions_from_ops(spark.sql(td.MVR_OPS_SQL))
+    from pyspark.sql import functions as F
+
+    multi = (
+        vers.groupBy("id").count().filter(F.col("count") > 1).count()
+    )
+    assert multi > 0
