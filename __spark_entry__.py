@@ -160,6 +160,39 @@ def q14_batch_queries(spark, sf_dir):
     return batch_query.batch_intersects(rel, windows)
 
 
+# 3-D query constants (the fork's 3-D test families — RTreeQuery3d etc.).
+W3_LO, W3_HI = (0.25, 0.25, 0.25), (0.32, 0.32, 0.32)
+P3 = (0.5, 0.5, 0.5)
+
+
+def _rects3_rel(spark, sf_dir):
+    from libspatialindex_spark.operators import nd
+
+    td.register_views(spark, sf_dir)
+    df = spark.sql(td.RECTS3D_SQL)
+    box = nd.NDBox((("xmin", "xmax"), ("ymin", "ymax"), ("wmin", "wmax")))
+    return nd.NDRelation(
+        df, nd.NDConfig(axes=((0.0, 1.0),) * 3, grid_bits=10), box
+    )
+
+
+def q16_3d_range(spark, sf_dir):
+    """3-D range intersection (dimension-generic Q1; RTree.cc:306-308
+    accepts any dim, fork ships RTreeQuery3d)."""
+    from libspatialindex_spark.operators import nd
+
+    rel = _rects3_rel(spark, sf_dir)
+    return nd.intersects_query_nd(rel, list(W3_LO), list(W3_HI)).select("id")
+
+
+def q17_3d_knn(spark, sf_dir):
+    """3-D tie-inclusive kNN (dimension-generic Q4)."""
+    from libspatialindex_spark.operators import nd
+
+    rel = _rects3_rel(spark, sf_dir)
+    return nd.knn_query_nd(rel, list(P3), K).select("id", "dist2")
+
+
 TQ = (200.0, 260.0)  # Q9 time interval [t0, t1)
 MQ = (0.0, 512.0)  # Q10 query time interval [t0, t1]
 
@@ -337,6 +370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_segment_range": q13_segment_range,
         "q14_batch_queries": q14_batch_queries,
         "q15_count_contains": q15_count_contains,
+        "q16_3d_range": q16_3d_range,
+        "q17_3d_knn": q17_3d_knn,
         "q09_time_range": q09_time_range,
         "q10_moving_range": q10_moving_range,
         "q20_pip_join": q20_pip_join,
@@ -757,6 +792,29 @@ def oracle_sql() -> dict[str, str]:
             FROM rects, w
             WHERE NOT (rects.xmin > w.qxmax OR rects.xmax < w.qxmin)
               AND NOT (rects.ymin > w.qymax OR rects.ymax < w.qymin)
+        """,
+        "q16_3d_range": f"""
+            WITH r3 AS ({td.RECTS3D_SQL.strip()})
+            SELECT id FROM r3
+            WHERE NOT (xmin > {W3_HI[0]} OR xmax < {W3_LO[0]})
+              AND NOT (ymin > {W3_HI[1]} OR ymax < {W3_LO[1]})
+              AND NOT (wmin > {W3_HI[2]} OR wmax < {W3_LO[2]})
+        """,
+        "q17_3d_knn": f"""
+            WITH r3 AS ({td.RECTS3D_SQL.strip()}),
+            d AS (
+              SELECT id,
+                GREATEST(xmin - {P3[0]}, {P3[0]} - xmax, 0.0) AS dx,
+                GREATEST(ymin - {P3[1]}, {P3[1]} - ymax, 0.0) AS dy,
+                GREATEST(wmin - {P3[2]}, {P3[2]} - wmax, 0.0) AS dw
+              FROM r3
+            ),
+            dd AS (SELECT id, dx * dx + dy * dy + dw * dw AS dist2 FROM d),
+            kth AS (
+              SELECT MAX(dist2) AS kd
+              FROM (SELECT dist2 FROM dd ORDER BY dist2 LIMIT {K})
+            )
+            SELECT id, dist2 FROM dd WHERE dist2 <= (SELECT kd FROM kth)
         """,
         "q09_time_range": f"""
             WITH v AS ({td.MVR_VERSIONS_SQL.strip()})

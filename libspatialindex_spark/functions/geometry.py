@@ -154,6 +154,62 @@ def segment_intersects_box(x1, y1, x2, y2, xmin, ymin, xmax, ymax) -> Column:
     return enter <= leave
 
 
+# ----------------------------------------------------------- N-dimensional
+#
+# The reference's Region kernel is dimension-generic (per-dim loops over
+# m_pLow/m_pHigh — Region.cc:264-276, 278-290, 374-386, 407-429); these are
+# the same predicates parameterized by dimension lists.  The 2-D functions
+# above remain the codegen-friendly specialization.
+
+
+def _reduce_and(preds: list[Column]) -> Column:
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def intersects_nd(lows, highs, qlows, qhighs) -> Column:
+    """Closed-interval intersection per dimension (Region.cc:264-276)."""
+    return _reduce_and(
+        [
+            ~((_c(lo) > _c(qhi)) | (_c(hi) < _c(qlo)))
+            for lo, hi, qlo, qhi in zip(lows, highs, qlows, qhighs)
+        ]
+    )
+
+
+def contains_nd(qlows, qhighs, lows, highs) -> Column:
+    """Query ⊇ entry on closed intervals (Region.cc:278-290)."""
+    return _reduce_and(
+        [
+            (_c(qlo) <= _c(lo)) & (_c(qhi) >= _c(hi))
+            for lo, hi, qlo, qhi in zip(lows, highs, qlows, qhighs)
+        ]
+    )
+
+
+def contains_point_nd(lows, highs, pts) -> Column:
+    """Closed-interval point inclusion (Region.cc:374-386)."""
+    return _reduce_and(
+        [
+            (_c(lo) <= _c(p)) & (_c(p) <= _c(hi))
+            for lo, hi, p in zip(lows, highs, pts)
+        ]
+    )
+
+
+def min_dist2_point_nd(lows, highs, pts) -> Column:
+    """Squared Euclidean distance point → box, 0 inside (Region.cc:407-429),
+    any dimension."""
+    out = None
+    for lo, hi, p in zip(lows, highs, pts):
+        d = F.greatest(_c(lo) - _c(p), _c(p) - _c(hi), F.lit(0.0))
+        term = d * d
+        out = term if out is None else out + term
+    return out
+
+
 def combine(axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax):
     """MBR union (Region.cc:496) → 4 Columns."""
     return (

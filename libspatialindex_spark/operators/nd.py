@@ -1,0 +1,328 @@
+"""N-dimensional (2-D/3-D) relations, queries, and index build.
+
+The reference is dimension-generic: ``RTree.cc:306-308`` accepts any
+dimension > 1, every query validates ``query.getDimension() ==
+m_dimension`` (``RTree.cc:581,601,729,746``), and the AI-DB-UoM fork ships
+3-D test targets for every index family (``test/CMakeLists.txt``:
+``RTreeQuery3d``, ``ZMQuery3d``, ``LISAQuery3d``, ``KDTreeLoad3d``,
+``PlatonBulkLoad3d``).  This module is the engine's dimension-generic
+layer: boxes are per-axis (lo, hi) column pairs, predicates come from
+``geometry.*_nd``, the curve key is the d-way Morton interleave
+(``curves.z_key_nd``), pruning walks a 2^d-ary tree (``cover.z_cover_nd``),
+and the stored index reuses the 2-level layout (z-prefix buckets + a
+manifest whose per-bucket bounds are per-axis arrays).
+
+The 2-D modules remain the hand-specialized fast path; parity between the
+two at d=2 is pytest-pinned.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from libspatialindex_spark.functions import curves
+from libspatialindex_spark.functions import geometry as G
+from libspatialindex_spark.plans import fs as FS
+from libspatialindex_spark.plans.cover import Cover, z_cover_nd
+
+
+@dataclass(frozen=True)
+class NDBox:
+    """Per-axis (lo_col, hi_col) names; points pass lo == hi columns."""
+
+    dims: tuple[tuple[str, str], ...] = (("xmin", "xmax"), ("ymin", "ymax"))
+
+    @property
+    def d(self) -> int:
+        return len(self.dims)
+
+    def lows(self) -> list:
+        return [F.col(lo) for lo, _ in self.dims]
+
+    def highs(self) -> list:
+        return [F.col(hi) for _, hi in self.dims]
+
+    def centers(self) -> list:
+        return [(F.col(lo) + F.col(hi)) / 2 for lo, hi in self.dims]
+
+
+@dataclass(frozen=True)
+class NDConfig:
+    """Dimension-generic layout config (PropertySet analog)."""
+
+    axes: tuple[tuple[float, float], ...] = ((0.0, 1.0), (0.0, 1.0))
+    grid_bits: int = 10
+    target_partitions: int = 32
+
+    @property
+    def d(self) -> int:
+        return len(self.axes)
+
+
+@dataclass
+class NDRelation:
+    """Queryable N-d spatial relation (ISpatialIndex analog, any d)."""
+
+    df: DataFrame
+    conf: NDConfig
+    box: NDBox
+    z_col: str | None = None
+    max_extent: tuple[float, ...] | None = None
+    bucket_boxes: list = field(default_factory=list)  # (bucket, lows, highs)
+
+    def _z_pred(self, cov: Cover):
+        if not self.z_col:
+            return None
+        ranges = cov.coalesced(max_ranges=16)
+        if not ranges:
+            return F.lit(False)
+        z = F.col(self.z_col)
+        pred = None
+        for lo, hi in ranges:
+            p = z.between(F.lit(lo), F.lit(hi))
+            pred = p if pred is None else (pred | p)
+        return pred
+
+    def pruned_for_box(self, qlo: list[float], qhi: list[float]) -> DataFrame:
+        df = self.df
+        if self.bucket_boxes:
+            hit = [
+                b
+                for b, lows, highs in self.bucket_boxes
+                if all(
+                    not (lo > qh or hi < ql)
+                    for lo, hi, ql, qh in zip(lows, highs, qlo, qhi)
+                )
+            ]
+            if not hit:
+                return df.filter(F.lit(False))
+            if len(hit) < len(self.bucket_boxes):
+                df = df.filter(F.col("bucket").isin(hit))
+        if self.z_col and self.max_extent is not None:
+            cov = z_cover_nd(
+                qlo,
+                qhi,
+                list(self.conf.axes),
+                self.conf.grid_bits,
+                expand=max(self.max_extent),
+            )
+            pred = self._z_pred(cov)
+            if pred is not None:
+                df = df.filter(pred)
+        return df
+
+
+# ------------------------------------------------------------------ queries
+
+
+def intersects_query_nd(
+    rel: NDRelation, qlo: list[float], qhi: list[float]
+) -> DataFrame:
+    """Q1 in d dims: closed-interval window intersection."""
+    return rel.pruned_for_box(qlo, qhi).filter(
+        G.intersects_nd(rel.box.lows(), rel.box.highs(), qlo, qhi)
+    )
+
+
+def contains_what_query_nd(
+    rel: NDRelation, qlo: list[float], qhi: list[float]
+) -> DataFrame:
+    """Q2 in d dims: entries fully inside the query window."""
+    return rel.pruned_for_box(qlo, qhi).filter(
+        G.contains_nd(qlo, qhi, rel.box.lows(), rel.box.highs())
+    )
+
+
+def point_location_query_nd(rel: NDRelation, pt: list[float]) -> DataFrame:
+    """Q3 in d dims: entries whose box contains the point."""
+    return rel.pruned_for_box(list(pt), list(pt)).filter(
+        G.contains_point_nd(rel.box.lows(), rel.box.highs(), pt)
+    )
+
+
+def knn_query_nd(
+    rel: NDRelation,
+    pt: list[float],
+    k: int,
+    dist_col: str = "dist2",
+    ring_init: float = 1.0 / 64.0,
+    ring_growth: float = 2.0,
+) -> DataFrame:
+    """Q4 in d dims: tie-inclusive kNN (RTree.cc:744-812 semantics) via
+    cube-ring expansion + threshold filter — the 2-D shape generalized."""
+    world_r = max(hi - lo for lo, hi in rel.conf.axes)
+    d2 = G.min_dist2_point_nd(rel.box.lows(), rel.box.highs(), pt)
+
+    def candidates(radius: float, cap: bool = True) -> DataFrame:
+        if radius < world_r:
+            df = rel.pruned_for_box(
+                [p - radius for p in pt], [p + radius for p in pt]
+            )
+        else:
+            df = rel.df
+        df = df.withColumn(dist_col, d2)
+        return df.filter(F.col(dist_col) <= radius * radius) if cap else df
+
+    radius = ring_init
+    cand = candidates(radius)
+    while radius < world_r and cand.limit(k).count() < k:
+        radius *= ring_growth
+        cand = candidates(radius)
+    if radius >= world_r:
+        cand = candidates(world_r, cap=False)  # saturation: no distance cap
+
+    cand = cand.persist()
+    kth_rows = (
+        cand.select(dist_col).orderBy(dist_col).limit(k)
+        .agg(F.max(dist_col).alias("kth")).collect()
+    )
+    kth = kth_rows[0]["kth"]
+    if kth is None:
+        return cand.filter(F.lit(False))
+    return cand.filter(F.col(dist_col) <= F.lit(kth))
+
+
+# -------------------------------------------------------------- index build
+
+
+def _bucket_shift_nd(conf: NDConfig) -> int:
+    """Z right-shift so that #buckets = (2^d)^L ≥ 4 × target_partitions."""
+    level = max(1, math.ceil(math.log(4 * conf.target_partitions, 2**conf.d)))
+    level = min(level, conf.grid_bits)
+    return conf.d * (conf.grid_bits - level)
+
+
+@dataclass
+class NDStoredIndex:
+    """A persisted N-d two-level index (z-prefix buckets + array manifest)."""
+
+    spark: SparkSession
+    path: str
+    conf: NDConfig
+    box: NDBox
+    shift: int
+
+    @property
+    def data_path(self) -> str:
+        return FS.join(self.path, "data")
+
+    @property
+    def manifest_path(self) -> str:
+        return FS.join(self.path, "manifest")
+
+    def manifest(self) -> DataFrame:
+        return self.spark.read.parquet(self.manifest_path)
+
+    def relation(self) -> NDRelation:
+        rows = self.manifest().collect()
+        boxes = [(r["bucket"], list(r["lows"]), list(r["highs"])) for r in rows]
+        exts = [0.0] * self.conf.d
+        for r in rows:
+            for a in range(self.conf.d):
+                exts[a] = max(exts[a], r["max_ext"][a])
+        df = self.spark.read.parquet(self.data_path)
+        return NDRelation(
+            df=df,
+            conf=self.conf,
+            box=self.box,
+            z_col="z",
+            max_extent=tuple(exts),
+            bucket_boxes=boxes,
+        )
+
+    def validate(self) -> bool:
+        got = _nd_manifest_for(
+            self.spark.read.parquet(self.data_path), self.box
+        ).select("bucket", "zmin", "zmax", "n_rows")
+        want = self.manifest().select("bucket", "zmin", "zmax", "n_rows")
+        return got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+
+
+def _nd_manifest_for(df: DataFrame, box: NDBox, build_id: str = "build-1"):
+    aggs = [
+        F.min("z").alias("zmin"),
+        F.max("z").alias("zmax"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.array(*[F.min(lo) for lo, _ in box.dims]).alias("lows"),
+        F.array(*[F.max(hi) for _, hi in box.dims]).alias("highs"),
+        F.array(
+            *[F.max(F.col(hi) - F.col(lo)) for lo, hi in box.dims]
+        ).alias("max_ext"),
+        F.lit(build_id).alias("build_id"),
+    ]
+    return df.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(*aggs)
+
+
+def build_index_nd(
+    df: DataFrame,
+    path: str,
+    conf: NDConfig,
+    box: NDBox | None = None,
+    build_id: str = "build-1",
+) -> NDStoredIndex:
+    """Bulk-load an N-d relation: d-way Morton key on box centers → range
+    shuffle → z-sorted z-prefix buckets → array-bounds manifest.  Same
+    write-data-then-commit-manifest protocol as the 2-D build."""
+    spark = df.sparkSession
+    box = box or NDBox()
+    if box.d != conf.d:
+        raise ValueError(f"box dims {box.d} != conf dims {conf.d}")
+    fs = FS.get_fs(spark, path)
+    shift = _bucket_shift_nd(conf)
+
+    z = curves.z_key_nd(box.centers(), list(conf.axes), conf.grid_bits)
+    keyed = df.withColumn("z", z).withColumn(
+        "bucket", F.shiftright(F.col("z"), shift)
+    )
+    if fs.isdir(path):
+        fs.delete(path)
+    fs.mkdirs(path)
+    fs.write_text(
+        FS.join(path, "boundaries.json"),
+        json.dumps(
+            {
+                "kind": "zprefix_nd",
+                "shift": shift,
+                "axes": [list(a) for a in conf.axes],
+                "grid_bits": conf.grid_bits,
+                "target_partitions": conf.target_partitions,
+                "dims": [list(p) for p in box.dims],
+            }
+        ),
+    )
+    data_path = FS.join(path, "data")
+    (
+        keyed.repartitionByRange(conf.target_partitions, "z")
+        .sortWithinPartitions("z")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(data_path)
+    )
+    idx = NDStoredIndex(spark=spark, path=path, conf=conf, box=box, shift=shift)
+    written = spark.read.parquet(data_path)
+    _nd_manifest_for(written, box, build_id).write.mode("overwrite").parquet(
+        idx.manifest_path
+    )
+    return idx
+
+
+def load_index_nd(spark: SparkSession, path: str) -> NDStoredIndex:
+    fs = FS.get_fs(spark, path)
+    p = FS.join(path, "boundaries.json")
+    if not fs.exists(p):
+        raise FileNotFoundError(f"no boundaries.json under {path}")
+    d = json.loads(fs.read_text(p))
+    conf = NDConfig(
+        axes=tuple(tuple(a) for a in d["axes"]),
+        grid_bits=int(d["grid_bits"]),
+        target_partitions=int(d["target_partitions"]),
+    )
+    box = NDBox(dims=tuple(tuple(p_) for p_ in d["dims"]))
+    return NDStoredIndex(
+        spark=spark, path=path, conf=conf, box=box, shift=int(d["shift"])
+    )

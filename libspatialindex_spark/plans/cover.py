@@ -17,10 +17,11 @@ short-circuit of ``RTree.cc:705-708``.
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass
 
 from libspatialindex_spark.config import EngineConfig
-from libspatialindex_spark.functions.curves import z_of_cell
+from libspatialindex_spark.functions.curves import z_of_cell, z_of_cell_nd
 
 
 @dataclass(frozen=True)
@@ -128,5 +129,57 @@ def z_cover(
         for dx in (0, 1):
             for dy in (0, 1):
                 stack.append((level + 1, 2 * ix + dx, 2 * iy + dy))
+
+    return Cover(full=_merge(sorted(full)), partial=_merge(sorted(partial)))
+
+
+def z_cover_nd(
+    qlo: list[float],
+    qhi: list[float],
+    axes: list[tuple[float, float]],
+    grid_bits: int,
+    max_cells: int = 256,
+    expand: float = 0.0,
+) -> Cover:
+    """:func:`z_cover` generalized to d dimensions (2^d-ary tree walk —
+    quadtree at d=2, octree at d=3).  A level-L block is a contiguous
+    d-way Morton range, so each emitted block is one ``BETWEEN``."""
+    d = len(axes)
+    qlo = [q - expand for q in qlo]
+    qhi = [q + expand for q in qhi]
+    for (wlo, whi), lo, hi in zip(axes, qlo, qhi):
+        if lo > whi or hi < wlo:
+            return Cover(full=[], partial=[])
+
+    gb = grid_bits
+    n = 1 << gb
+    steps = [(whi - wlo) / n for wlo, whi in axes]
+    full: list[tuple[int, int]] = []
+    partial: list[tuple[int, int]] = []
+    stack: list[tuple[int, tuple[int, ...]]] = [(0, (0,) * d)]
+
+    def block_range(level: int, cells: tuple[int, ...]) -> tuple[int, int]:
+        shift = d * (gb - level)
+        base = z_of_cell_nd(cells) << shift
+        return (base, base + (1 << shift) - 1)
+
+    while stack:
+        level, cells = stack.pop()
+        s = 1 << (gb - level)
+        blo = [axes[a][0] + cells[a] * s * steps[a] for a in range(d)]
+        bhi = [axes[a][0] + (cells[a] + 1) * s * steps[a] for a in range(d)]
+        # Closed-interval intersection (Region.cc:264-276 semantics).
+        if any(blo[a] > qhi[a] or bhi[a] < qlo[a] for a in range(d)):
+            continue
+        if all(qlo[a] <= blo[a] and bhi[a] <= qhi[a] for a in range(d)):
+            full.append(block_range(level, cells))
+            continue
+        if level == gb or len(full) + len(partial) >= max_cells:
+            partial.append(block_range(level, cells))
+            continue
+        for deltas in itertools.product((0, 1), repeat=d):
+            stack.append(
+                (level + 1, tuple(2 * c + dd for c, dd in zip(cells, deltas)))
+            )
 
     return Cover(full=_merge(sorted(full)), partial=_merge(sorted(partial)))

@@ -83,6 +83,17 @@ SELECT r.*,
 FROM ({RECTS_SQL.strip()}) r
 """
 
+# 3-D entry layer (the fork's 3-D test families: RTreeQuery3d, ZMQuery3d,
+# LISAQuery3d — ``test/CMakeLists.txt``): RECTS_SQL plus a third axis
+# (wmin, wmax) on the same dyadic lattice.
+RECTS3D_SQL = f"""
+SELECT r.*,
+  CAST((r.id * 2654435761 + 51) % {SCALE} AS DOUBLE) / {SCALE}.0 AS wmin,
+  CAST((r.id * 2654435761 + 51) % {SCALE} AS DOUBLE) / {SCALE}.0
+    + CAST((r.id * 104729 + 23) % 65536 AS DOUBLE) / {SCALE}.0 AS wmax
+FROM ({RECTS_SQL.strip()}) r
+"""
+
 # MVR op-stream (SURVEY.md Q9, ``test/mvrtree/Generator.cc:79-81``): a
 # timestamped insert/delete timeline.  Every id is inserted at t0 and
 # deleted at t0+lifespan; every third id is additionally deleted mid-life

@@ -1,0 +1,185 @@
+"""N-dimensional layer tests: Morton parity, cover generalization, 3-D
+query correctness vs pandas brute force, 3-D stored-index build parity,
+and d=2 equivalence with the hand-specialized 2-D path (VERDICT r1 #3)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from libspatialindex_spark.config import EngineConfig
+from libspatialindex_spark.functions import curves
+from libspatialindex_spark.operators import nd, range_query
+from libspatialindex_spark.operators.relation import SpatialRelation
+from libspatialindex_spark.plans.cover import z_cover, z_cover_nd
+from libspatialindex_spark.sources import testdata as td
+from tests.conftest import SF_DIR
+
+AX3 = ((0.0, 1.0), (0.0, 1.0), (0.0, 1.0))
+BOX3 = nd.NDBox((("xmin", "xmax"), ("ymin", "ymax"), ("wmin", "wmax")))
+W3_LO, W3_HI = [0.25, 0.25, 0.25], [0.45, 0.45, 0.45]
+
+
+@pytest.fixture(scope="module")
+def r3(spark):
+    td.register_views(spark, SF_DIR)
+    return spark.sql(td.RECTS3D_SQL)
+
+
+@pytest.fixture(scope="module")
+def r3_pdf(r3):
+    return r3.toPandas()
+
+
+@pytest.fixture(scope="module")
+def rel3(r3):
+    return nd.NDRelation(r3, nd.NDConfig(axes=AX3, grid_bits=10), BOX3)
+
+
+def test_z_key_nd_column_matches_numpy(spark, r3):
+    conf3 = nd.NDConfig(axes=AX3, grid_bits=10)
+    cx = [(F.col(lo) + F.col(hi)) / 2 for lo, hi in BOX3.dims]
+    got = (
+        r3.select(
+            curves.z_key_nd(cx, list(AX3), 10).alias("z"),
+            *[c.alias(f"c{i}") for i, c in enumerate(cx)],
+        )
+        .limit(2000)
+        .toPandas()
+    )
+    want = curves.np_z_key_nd(
+        [got.c0.to_numpy(), got.c1.to_numpy(), got.c2.to_numpy()],
+        list(AX3),
+        10,
+    )
+    assert (got.z.to_numpy() == want).all()
+
+
+def test_z_key_nd_d2_matches_2d_path(spark):
+    conf = EngineConfig()
+    df = td.rects(spark, SF_DIR).limit(1000)
+    cx = (F.col("xmin") + F.col("xmax")) / 2
+    cy = (F.col("ymin") + F.col("ymax")) / 2
+    axes = [(conf.world[0], conf.world[2]), (conf.world[1], conf.world[3])]
+    both = df.select(
+        curves.z_key(cx, cy, conf).alias("z2"),
+        curves.z_key_nd([cx, cy], axes, conf.grid_bits).alias("znd"),
+    )
+    assert both.filter(F.col("z2") != F.col("znd")).count() == 0
+
+
+def test_cover_nd_d2_matches_quadtree_cover():
+    conf = EngineConfig()
+    axes = [(conf.world[0], conf.world[2]), (conf.world[1], conf.world[3])]
+    c2 = z_cover(0.2, 0.3, 0.4, 0.55, conf)
+    cn = z_cover_nd([0.2, 0.3], [0.4, 0.55], axes, conf.grid_bits)
+    assert c2.all_ranges == cn.all_ranges
+
+
+def test_3d_intersects_vs_pandas(rel3, r3_pdf):
+    got = {
+        r.id
+        for r in nd.intersects_query_nd(rel3, W3_LO, W3_HI).collect()
+    }
+    p = r3_pdf
+    m = (
+        ~((p.xmin > W3_HI[0]) | (p.xmax < W3_LO[0]))
+        & ~((p.ymin > W3_HI[1]) | (p.ymax < W3_LO[1]))
+        & ~((p.wmin > W3_HI[2]) | (p.wmax < W3_LO[2]))
+    )
+    assert got == set(p.id[m]) and got
+
+
+def test_3d_contains_and_point_location(rel3, r3_pdf):
+    got_c = {
+        r.id
+        for r in nd.contains_what_query_nd(rel3, W3_LO, W3_HI).collect()
+    }
+    p = r3_pdf
+    mc = (
+        (p.xmin >= W3_LO[0]) & (p.xmax <= W3_HI[0])
+        & (p.ymin >= W3_LO[1]) & (p.ymax <= W3_HI[1])
+        & (p.wmin >= W3_LO[2]) & (p.wmax <= W3_HI[2])
+    )
+    assert got_c == set(p.id[mc])
+    pt = [0.5, 0.5, 0.5]
+    got_p = {r.id for r in nd.point_location_query_nd(rel3, pt).collect()}
+    mp = (
+        (p.xmin <= pt[0]) & (pt[0] <= p.xmax)
+        & (p.ymin <= pt[1]) & (pt[1] <= p.ymax)
+        & (p.wmin <= pt[2]) & (pt[2] <= p.wmax)
+    )
+    assert got_p == set(p.id[mp])
+
+
+def test_3d_knn_tie_inclusive(rel3, r3_pdf):
+    k = 10
+    got = nd.knn_query_nd(rel3, [0.5, 0.5, 0.5], k).collect()
+    p = r3_pdf
+    dx = np.maximum.reduce([p.xmin - 0.5, 0.5 - p.xmax, np.zeros(len(p))])
+    dy = np.maximum.reduce([p.ymin - 0.5, 0.5 - p.ymax, np.zeros(len(p))])
+    dw = np.maximum.reduce([p.wmin - 0.5, 0.5 - p.wmax, np.zeros(len(p))])
+    d2 = np.asarray(dx * dx + dy * dy + dw * dw)
+    kth = np.sort(d2)[k - 1]
+    want = set(p.id[d2 <= kth])
+    assert {r.id for r in got} == want and len(got) >= k
+
+
+def test_nd_d2_queries_match_2d_operators(spark, conf):
+    """The dimension-generic path at d=2 returns exactly what the
+    specialized 2-D operators return."""
+    df = td.rects(spark, SF_DIR)
+    rel2 = SpatialRelation(df, conf, max_extent=(td.MAX_EXTENT,) * 2)
+    reln = nd.NDRelation(
+        df, nd.NDConfig(axes=((0.0, 1.0), (0.0, 1.0))), nd.NDBox()
+    )
+    w = (0.25, 0.25, 0.30, 0.30)
+    a = {r.id for r in range_query.intersects_query(rel2, *w).collect()}
+    b = {
+        r.id
+        for r in nd.intersects_query_nd(
+            reln, [w[0], w[1]], [w[2], w[3]]
+        ).collect()
+    }
+    assert a == b
+
+
+def test_3d_index_build_parity_and_pruning(spark, r3, r3_pdf, tmp_path):
+    """3-D stored index: build → load → pruned query equals full scan;
+    manifest validates; the prune actually skips buckets."""
+    conf3 = nd.NDConfig(axes=AX3, grid_bits=10, target_partitions=8)
+    idx = nd.build_index_nd(r3, str(tmp_path / "idx3"), conf3, BOX3)
+    assert idx.validate()
+
+    idx2 = nd.load_index_nd(spark, str(tmp_path / "idx3"))
+    assert idx2.conf == conf3 and idx2.box == BOX3
+    rel = idx2.relation()
+    qlo, qhi = [0.25, 0.25, 0.25], [0.30, 0.30, 0.30]
+    got = {r.id for r in nd.intersects_query_nd(rel, qlo, qhi).collect()}
+    p = r3_pdf
+    m = (
+        ~((p.xmin > qhi[0]) | (p.xmax < qlo[0]))
+        & ~((p.ymin > qhi[1]) | (p.ymax < qlo[1]))
+        & ~((p.wmin > qhi[2]) | (p.wmax < qlo[2]))
+    )
+    assert got == set(p.id[m]) and got
+
+    # pruning evidence: the bucket filter hits a strict subset
+    hit = [
+        b
+        for b, lows, highs in rel.bucket_boxes
+        if all(
+            not (lo > qh or hi < ql)
+            for lo, hi, ql, qh in zip(lows, highs, qlo, qhi)
+        )
+    ]
+    assert 0 < len(hit) < len(rel.bucket_boxes)
+
+    # kNN over the stored relation matches the derived-relation answer
+    got_knn = {
+        r.id for r in nd.knn_query_nd(rel, [0.5, 0.5, 0.5], 10).collect()
+    }
+    rel_raw = nd.NDRelation(r3, conf3, BOX3)
+    want_knn = {
+        r.id for r in nd.knn_query_nd(rel_raw, [0.5, 0.5, 0.5], 10).collect()
+    }
+    assert got_knn == want_knn
