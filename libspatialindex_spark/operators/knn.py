@@ -65,30 +65,41 @@ def knn_query(
         df = df.withColumn(dist_col, d2)
         return df.filter(F.col(dist_col) <= radius * radius) if cap else df
 
-    # Phase 1: ring expansion until the window certifies ≥ k candidates.
-    radius = conf.knn_ring_init
-    cand = candidates(radius)
-    while radius < world_r and cand.limit(k).count() < k:
-        radius *= conf.knn_ring_growth
+    # Phase 1: certified superset window.  A stored index seeds the radius
+    # from manifest row counts (single pass, no count jobs — the header-
+    # metadata analog of the best-first descent); otherwise ring-expand
+    # until the window certifies ≥ k candidates.
+    seeded = rel.seed_knn_radius(px, py, k)
+    if seeded is not None:
+        cand = candidates(seeded)  # ≥ k rows certified within the radius
+    else:
+        radius = conf.knn_ring_init
         cand = candidates(radius)
-    if radius >= world_r:
-        # Ring saturated: fewer than k entries within world_r.  In-world
-        # distances still reach sqrt(2)·world_r, and entries may lie outside
-        # the configured world box — so drop the distance cap entirely and
-        # consider ALL entries (the reference returns min(k, N) rows).
-        cand = candidates(world_r, cap=False)
+        while radius < world_r and cand.limit(k).count() < k:
+            radius *= conf.knn_ring_growth
+            cand = candidates(radius)
+        if radius >= world_r:
+            # Ring saturated: fewer than k entries within world_r.  In-world
+            # distances still reach sqrt(2)·world_r, and entries may lie
+            # outside the configured world box — drop the distance cap and
+            # consider ALL entries (the reference returns min(k, N) rows).
+            cand = candidates(world_r, cap=False)
 
-    # Persist: phases 2-3 and the caller's final action all reuse the
-    # candidate set (Spark's LRU evicts it naturally; an eager unpersist
-    # would force the returned DataFrame to recompute the ring scan).
+    # Persist: phases 2-3 reuse the candidate set.
     cand = cand.persist()
-    # Phase 2: exact k-th distance bound (top-k on the pruned set).
-    kth_rows = (
-        cand.select(dist_col).orderBy(dist_col).limit(k)
-        .agg(F.max(dist_col).alias("kth")).collect()
-    )
-    kth = kth_rows[0]["kth"]
-    if kth is None:  # empty relation
-        return cand.filter(F.lit(False))
-    # Phase 3: tie-inclusive threshold (RTree.cc:760-762 semantics).
-    return cand.filter(F.col(dist_col) <= F.lit(kth))
+    try:
+        # Phase 2: exact k-th distance bound (top-k on the pruned set).
+        kth_rows = (
+            cand.select(dist_col).orderBy(dist_col).limit(k)
+            .agg(F.max(dist_col).alias("kth")).collect()
+        )
+        kth = kth_rows[0]["kth"]
+        if kth is None:  # empty relation
+            return cand.filter(F.lit(False)).localCheckpoint()
+        # Phase 3: tie-inclusive threshold (RTree.cc:760-762 semantics) —
+        # the result is ≤ k + ties rows, so an eager localCheckpoint is
+        # cheap and lets us unpersist the (large) candidate cache instead
+        # of leaking it into a long-lived session (VERDICT r1 #7).
+        return cand.filter(F.col(dist_col) <= F.lit(kth)).localCheckpoint()
+    finally:
+        cand.unpersist()

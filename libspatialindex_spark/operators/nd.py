@@ -177,14 +177,17 @@ def knn_query_nd(
         cand = candidates(world_r, cap=False)  # saturation: no distance cap
 
     cand = cand.persist()
-    kth_rows = (
-        cand.select(dist_col).orderBy(dist_col).limit(k)
-        .agg(F.max(dist_col).alias("kth")).collect()
-    )
-    kth = kth_rows[0]["kth"]
-    if kth is None:
-        return cand.filter(F.lit(False))
-    return cand.filter(F.col(dist_col) <= F.lit(kth))
+    try:
+        kth_rows = (
+            cand.select(dist_col).orderBy(dist_col).limit(k)
+            .agg(F.max(dist_col).alias("kth")).collect()
+        )
+        kth = kth_rows[0]["kth"]
+        if kth is None:
+            return cand.filter(F.lit(False)).localCheckpoint()
+        return cand.filter(F.col(dist_col) <= F.lit(kth)).localCheckpoint()
+    finally:
+        cand.unpersist()
 
 
 # -------------------------------------------------------------- index build

@@ -60,6 +60,12 @@ class SpatialRelation:
 
     # -- planning helpers ---------------------------------------------------
 
+    def seed_knn_radius(self, px: float, py: float, k: int) -> float | None:
+        """Smallest certified kNN search radius derivable from metadata, or
+        None when no metadata exists (plain relations start from the ring
+        default).  StoredRelation overrides using manifest row counts."""
+        return None
+
     def expand_radius(self) -> float | None:
         """Half-extent to expand query windows by when pruning on center-Z."""
         if self.max_extent is None:

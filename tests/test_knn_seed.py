@@ -1,0 +1,61 @@
+"""Manifest-seeded kNN on the stored index (VERDICT r1 #7): the radius
+derived from bucket row counts must be certified (≥ k rows inside) and the
+single-pass result must equal both the ring-loop answer and brute force."""
+
+import numpy as np
+import pytest
+
+from libspatialindex_spark.operators import index_build, knn
+from libspatialindex_spark.operators.relation import SpatialRelation
+from libspatialindex_spark.sources import testdata as td
+from tests.conftest import SF_DIR
+
+P, K = (0.5, 0.5), 10
+
+
+@pytest.fixture(scope="module")
+def stored(spark, conf, tmp_path_factory):
+    df = td.rects(spark, SF_DIR)
+    path = str(tmp_path_factory.mktemp("knnidx") / "idx")
+    return index_build.build_index(df, path, conf), df
+
+
+def test_seed_radius_is_certified(stored, rects_pdf):
+    idx, _ = stored
+    rel = idx.relation()
+    r = rel.seed_knn_radius(*P, K)
+    assert r is not None and r > 0
+    p = rects_pdf
+    dx = np.maximum.reduce([p.xmin - P[0], P[0] - p.xmax, np.zeros(len(p))])
+    dy = np.maximum.reduce([p.ymin - P[1], P[1] - p.ymax, np.zeros(len(p))])
+    d2 = np.asarray(dx * dx + dy * dy)
+    assert int((d2 <= r * r).sum()) >= K  # the radius really holds ≥ k rows
+
+
+def test_seeded_knn_matches_bruteforce(stored, rects_pdf, conf):
+    idx, df = stored
+    got = {r.id for r in knn.knn_query(idx.relation(), *P, K).collect()}
+    # brute force with tie inclusion
+    p = rects_pdf
+    dx = np.maximum.reduce([p.xmin - P[0], P[0] - p.xmax, np.zeros(len(p))])
+    dy = np.maximum.reduce([p.ymin - P[1], P[1] - p.ymax, np.zeros(len(p))])
+    d2 = np.asarray(dx * dx + dy * dy)
+    kth = np.sort(d2)[K - 1]
+    assert got == set(p.id[d2 <= kth])
+    # and equals the unseeded (derived-relation) path
+    rel2 = SpatialRelation(df, conf, max_extent=(td.MAX_EXTENT,) * 2)
+    assert got == {r.id for r in knn.knn_query(rel2, *P, K).collect()}
+
+
+def test_knn_cache_released(stored, spark):
+    """The kNN candidate persist must be released per call: over 3 calls
+    the persistent-RDD count may grow only by the (tiny) localCheckpoint
+    blocks (≤ 1 each), never by the full candidate caches too (2 each)."""
+    idx, _ = stored
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    before = jmap.size()
+    rel = idx.relation()
+    for _ in range(3):
+        knn.knn_query(rel, *P, K).collect()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after - before <= 3
