@@ -9,6 +9,13 @@ A4 mirrors the reference driver's latency report
 (``test/rtree/RTreeQuery.cc:354-414``): per-query wall times → mean /
 variance / stddev + P1..P100 percentiles, computed with
 ``percentile_approx`` when aggregated in Spark or numpy when driver-side.
+
+Per-query IO accounting (``RTreeQuery.cc:68-115,344-349`` — the visitor's
+index-read vs leaf-read split) maps to the two pruning levels of this
+engine: **buckets scanned vs total** (index-node reads saved by the
+driver's manifest descent) and **rows scanned vs returned** (leaf entries
+touched vs emitted), the latter counted in-flight by ``Observation``
+metrics on the running plan — no second job.
 """
 
 from __future__ import annotations
@@ -18,8 +25,10 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import Observation
 from pyspark.sql import functions as F
 
+from libspatialindex_spark.functions import geometry as G
 from libspatialindex_spark.operators.index_build import StoredIndex
 
 
@@ -45,24 +54,94 @@ def index_statistics(idx: StoredIndex) -> dict:
     }
 
 
+def observed_intersects_query(rel, qxmin, qymin, qxmax, qymax):
+    """Range query with in-flight IO accounting (A4 completion).
+
+    Returns ``(result_df, io)`` where ``io()`` — valid after the caller
+    runs an action on the result — yields the reference visitor's counters
+    re-expressed for the two-level layout:
+
+    * ``buckets_total`` / ``buckets_scanned`` — manifest-level pruning
+      (index-node reads avoided);
+    * ``rows_scanned`` — entries surviving the prune that the exact
+      predicate had to touch (leaf reads);
+    * ``rows_returned`` — emitted entries (visitData calls).
+    """
+    scan_obs = Observation()
+    out_obs = Observation()
+    b = rel.box
+    pruned = rel.pruned_for_box(qxmin, qymin, qxmax, qymax).observe(
+        scan_obs, F.count(F.lit(1)).alias("rows_scanned")
+    )
+    out = pruned.filter(
+        G.intersects(
+            F.col(b.xmin), F.col(b.ymin), F.col(b.xmax), F.col(b.ymax),
+            qxmin, qymin, qxmax, qymax,
+        )
+    ).observe(out_obs, F.count(F.lit(1)).alias("rows_returned"))
+
+    boxes = getattr(rel, "bucket_boxes", None) or []
+    hit = [
+        t[0]
+        for t in boxes
+        if not (t[1] > qxmax or t[3] < qxmin or t[2] > qymax or t[4] < qymin)
+    ]
+
+    def io() -> dict:
+        return {
+            "buckets_total": len(boxes) or None,
+            "buckets_scanned": len(hit) if boxes else None,
+            "rows_scanned": scan_obs.get["rows_scanned"],
+            "rows_returned": out_obs.get["rows_returned"],
+        }
+
+    return out, io
+
+
 @dataclass
 class LatencyRecorder:
-    """Per-query latency collection → the reference's percentile report."""
+    """Per-query latency collection → the reference's percentile report,
+    optionally with the per-query IO counters alongside."""
 
-    samples: list[tuple[str, float, int]] = field(default_factory=list)
+    samples: list[tuple[str, float, int, dict | None]] = field(
+        default_factory=list
+    )
 
     def timed(self, name: str, df) -> int:
         t0 = time.time()
         n = df.count()
-        self.samples.append((name, time.time() - t0, n))
+        self.samples.append((name, time.time() - t0, n, None))
         return n
 
+    def timed_observed(self, name: str, rel, window) -> dict:
+        """Run an instrumented range query; record latency + IO split."""
+        df, io = observed_intersects_query(rel, *window)
+        t0 = time.time()
+        df.count()
+        sec = time.time() - t0
+        stats = io()
+        self.samples.append((name, sec, stats["rows_returned"], stats))
+        return stats
+
     def report(self) -> pd.DataFrame:
-        pdf = pd.DataFrame(self.samples, columns=["query", "sec", "rows"])
+        pdf = pd.DataFrame(
+            [
+                {
+                    "query": q,
+                    "sec": s,
+                    "rows": n,
+                    **{k: (io or {}).get(k) for k in (
+                        "buckets_total", "buckets_scanned",
+                        "rows_scanned", "rows_returned",
+                    )},
+                }
+                for q, s, n, io in self.samples
+            ]
+        )
         return pdf
 
     def percentiles(self) -> dict:
-        lat = np.array([s for _, s, _ in self.samples], dtype=np.float64)
+        lat = np.array([s for _, s, _, _ in self.samples], dtype=np.float64)
         if len(lat) == 0:
             return {}
         out = {

@@ -99,3 +99,21 @@ def test_latency_recorder(built):
     rec.timed("w2", range_query.intersects_query(rel, 0.0, 0.0, 0.1, 0.1))
     rep = rec.percentiles()
     assert rep["n"] == 2 and rep["p100_sec"] >= rep["p1_sec"] >= 0
+
+
+def test_io_accounting_observed_query(built):
+    """A4 completion (RTreeQuery.cc:344-349 analog): buckets pruned + rows
+    scanned vs returned, counted in-flight on the running plan."""
+    idx, head, *_ = built
+    rel = idx.relation()
+    rec = stats.LatencyRecorder()
+    io = rec.timed_observed("w", rel, (0.25, 0.25, 0.30, 0.30))
+    assert io["buckets_total"] > 0
+    assert 0 < io["buckets_scanned"] < io["buckets_total"]  # pruning real
+    assert io["rows_returned"] <= io["rows_scanned"]
+    assert io["rows_scanned"] < head.count()  # leaf reads < full scan
+    rep = rec.report()
+    assert {"buckets_scanned", "rows_scanned"} <= set(rep.columns)
+    # the emitted count matches the plain operator's answer
+    n = range_query.intersects_query(rel, 0.25, 0.25, 0.30, 0.30).count()
+    assert io["rows_returned"] == n
