@@ -216,6 +216,15 @@ def q10_moving_range(spark, sf_dir):
     return temporal.moving_range_query(mov, *W, *MQ).select("id")
 
 
+def q18_moving_region_range(spark, sf_dir):
+    """TPR moving-REGION range query (MovingRegion.cc velocity-MBR
+    algebra): low/high edges extrapolate with separate velocities;
+    emit entries whose extrapolated box meets W during MQ."""
+    td.register_views(spark, sf_dir)
+    mr = spark.sql(td.MOVING_REGIONS_SQL)
+    return temporal.moving_region_range_query(mr, *W, *MQ).select("id")
+
+
 def q20_pip_join(spark, sf_dir):
     pts = td.points(spark, sf_dir)
     pol = td.polys(spark, sf_dir)
@@ -374,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_3d_knn": q17_3d_knn,
         "q09_time_range": q09_time_range,
         "q10_moving_range": q10_moving_range,
+        "q18_moving_region_range": q18_moving_region_range,
         "q20_pip_join": q20_pip_join,
         "q21_tile_assign": q21_tile_assign,
         "q22_pip_count_by_poly": q22_pip_count_by_poly,
@@ -669,6 +679,43 @@ def _lsh_near_dup_oracle() -> str:
     """
 
 
+def _halfline_sql(c0: str, c1: str, bound: float, upper: bool):
+    """SQL replica of temporal._halfline: feasible t-interval of the
+    linear constraint c0 + c1·t ≤/≥ bound (±1e18 sentinels)."""
+    t = f"(({bound}) - {c0}) / {c1}"
+    cmp_ = "<=" if upper else ">="
+    lo = (
+        f"CASE WHEN {c1} = 0.0 THEN "
+        f"(CASE WHEN {c0} {cmp_} {bound} THEN -1e18 ELSE 1e18 END) "
+        f"WHEN {c1} > 0.0 THEN {'-1e18' if upper else t} "
+        f"ELSE {t if upper else '-1e18'} END"
+    )
+    hi = (
+        f"CASE WHEN {c1} = 0.0 THEN "
+        f"(CASE WHEN {c0} {cmp_} {bound} THEN 1e18 ELSE -1e18 END) "
+        f"WHEN {c1} > 0.0 THEN {t if upper else '1e18'} "
+        f"ELSE {'1e18' if upper else t} END"
+    )
+    return lo, hi
+
+
+def _moving_region_oracle() -> str:
+    lx1, hx1 = _halfline_sql("xmin", "vxlo", W[2], upper=True)
+    lx2, hx2 = _halfline_sql("xmax", "vxhi", W[0], upper=False)
+    ly1, hy1 = _halfline_sql("ymin", "vylo", W[3], upper=True)
+    ly2, hy2 = _halfline_sql("ymax", "vyhi", W[1], upper=False)
+    return f"""
+        WITH mr AS ({td.MOVING_REGIONS_SQL.strip()}),
+        iv AS (
+          SELECT id,
+            GREATEST({lx1}, {lx2}, {ly1}, {ly2}, {MQ[0]}) AS enter,
+            LEAST({hx1}, {hx2}, {hy1}, {hy2}, {MQ[1]}) AS leave
+          FROM mr
+        )
+        SELECT id FROM iv WHERE enter <= leave
+    """
+
+
 _INTERSECTS_W = (
     f"NOT (xmin > {W[2]} OR xmax < {W[0]}) AND "
     f"NOT (ymin > {W[3]} OR ymax < {W[1]})"
@@ -843,6 +890,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id FROM iv
             WHERE GREATEST(tx_lo, ty_lo, {MQ[0]}) <= LEAST(tx_hi, ty_hi, {MQ[1]})
         """,
+        "q18_moving_region_range": _moving_region_oracle(),
         "q20_pip_join": f"""
             WITH pts AS ({_P}), pol AS ({_G})
             SELECT pts.id, pol.poly_id

@@ -119,6 +119,17 @@ def _axis_interval(p: Column, v: Column, lo: float, hi: float):
     return t_lo, t_hi
 
 
+def _check_horizon(t0: float, t1: float, horizon: float | None, now: float):
+    """TPR horizon guard (``TPRTree.cc:1211-1212``): the query interval
+    must lie within [now, now + horizon) or the structure's extrapolation
+    is invalid — the reference rejects such queries outright."""
+    if horizon is not None and not (now <= t0 and t1 < now + horizon):
+        raise ValueError(
+            f"query interval [{t0}, {t1}] outside the TPR horizon "
+            f"[{now}, {now + horizon}) (TPRTree.cc:1211-1212)"
+        )
+
+
 def moving_range_query(
     points: DataFrame,
     qxmin: float,
@@ -131,11 +142,75 @@ def moving_range_query(
     y: str = "y",
     vx: str = "vx",
     vy: str = "vy",
+    horizon: float | None = None,
+    now: float = 0.0,
 ) -> DataFrame:
     """Q10 — moving points whose trajectory meets the window during
     [t0, t1] (closed, reference time 0)."""
+    _check_horizon(t0, t1, horizon, now)
     tx_lo, tx_hi = _axis_interval(F.col(x), F.col(vx), qxmin, qxmax)
     ty_lo, ty_hi = _axis_interval(F.col(y), F.col(vy), qymin, qymax)
     enter = F.greatest(tx_lo, ty_lo, F.lit(float(t0)))
     leave = F.least(tx_hi, ty_hi, F.lit(float(t1)))
     return points.filter(enter <= leave)
+
+
+def _halfline(c0: Column, c1: Column, bound: float, upper: bool):
+    """Feasible t-interval of the linear constraint
+    ``c0 + c1·t ≤ bound`` (upper=True) or ``c0 + c1·t ≥ bound``.
+
+    Returns (t_lo, t_hi); unconstrained / empty encoded with ±FAR."""
+    _F_FAR = F.lit(_FAR)
+    t = (F.lit(bound) - c0) / c1
+    always = (c0 <= F.lit(bound)) if upper else (c0 >= F.lit(bound))
+    if upper:
+        # c1 > 0 → t ≤ cross; c1 < 0 → t ≥ cross; c1 = 0 → all or none
+        t_lo = F.when(c1 == 0.0, F.when(always, -_F_FAR).otherwise(_F_FAR)) \
+            .when(c1 > 0.0, -_F_FAR).otherwise(t)
+        t_hi = F.when(c1 == 0.0, F.when(always, _F_FAR).otherwise(-_F_FAR)) \
+            .when(c1 > 0.0, t).otherwise(_F_FAR)
+    else:
+        t_lo = F.when(c1 == 0.0, F.when(always, -_F_FAR).otherwise(_F_FAR)) \
+            .when(c1 > 0.0, t).otherwise(-_F_FAR)
+        t_hi = F.when(c1 == 0.0, F.when(always, _F_FAR).otherwise(-_F_FAR)) \
+            .when(c1 > 0.0, _F_FAR).otherwise(t)
+    return t_lo, t_hi
+
+
+def moving_region_range_query(
+    regions: DataFrame,
+    qxmin: float,
+    qymin: float,
+    qxmax: float,
+    qymax: float,
+    t0: float,
+    t1: float,
+    box: tuple[str, str, str, str] = ("xmin", "ymin", "xmax", "ymax"),
+    vel: tuple[str, str, str, str] = ("vxlo", "vylo", "vxhi", "vyhi"),
+    horizon: float | None = None,
+    now: float = 0.0,
+) -> DataFrame:
+    """Moving-REGION range query — the velocity-MBR algebra of
+    ``src/spatialindex/MovingRegion.cc`` (``getMBRAtTime``,
+    ``SpatialIndex.h:98-104``): each entry is a box whose low and high
+    edges move linearly (low edge at ``lo + vlo·t``, high at
+    ``hi + vhi·t``); emit entries whose extrapolated box intersects the
+    query window at some t in [t0, t1] (closed intervals).
+
+    Per axis the closed-interval overlap ``lo(t) ≤ qhi ∧ qlo ≤ hi(t)``
+    is two linear constraints in t, each a half-line; their intersection
+    is an interval, and the answer is non-emptiness of the intersection
+    across axes with [t0, t1] — all closed-form Columns, codegen, no UDF.
+    """
+    _check_horizon(t0, t1, horizon, now)
+    xmin, ymin, xmax, ymax = (F.col(c) for c in box)
+    vxlo, vylo, vxhi, vyhi = (F.col(c) for c in vel)
+
+    lo_x1, hi_x1 = _halfline(xmin, vxlo, qxmax, upper=True)   # lo(t) ≤ qhi
+    lo_x2, hi_x2 = _halfline(xmax, vxhi, qxmin, upper=False)  # hi(t) ≥ qlo
+    lo_y1, hi_y1 = _halfline(ymin, vylo, qymax, upper=True)
+    lo_y2, hi_y2 = _halfline(ymax, vyhi, qymin, upper=False)
+
+    enter = F.greatest(lo_x1, lo_x2, lo_y1, lo_y2, F.lit(float(t0)))
+    leave = F.least(hi_x1, hi_x2, hi_y1, hi_y2, F.lit(float(t1)))
+    return regions.filter(enter <= leave)

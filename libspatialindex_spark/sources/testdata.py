@@ -153,6 +153,20 @@ FROM ({POINTS_SQL.strip()}) p
 """
 
 
+# Moving REGIONS (MovingRegion.cc velocity-MBR algebra): each box's low
+# and high edges move linearly with separate velocities (vhi = vlo + a
+# non-negative dyadic delta, so boxes never invert).  Reference time 0.
+MOVING_REGIONS_SQL = f"""
+SELECT r.*,
+  (CAST((r.id * 40503 + 7) % 64 AS DOUBLE) - 32.0) / {SCALE}.0 AS vxlo,
+  (CAST((r.id * 104729 + 19) % 64 AS DOUBLE) - 32.0) / {SCALE}.0 AS vylo,
+  (CAST((r.id * 40503 + 7) % 64 AS DOUBLE) - 32.0) / {SCALE}.0
+    + CAST((r.id * 7919 + 13) % 16 AS DOUBLE) / {SCALE}.0 AS vxhi,
+  (CAST((r.id * 104729 + 19) % 64 AS DOUBLE) - 32.0) / {SCALE}.0
+    + CAST((r.id * 2654435761 + 29) % 16 AS DOUBLE) / {SCALE}.0 AS vyhi
+FROM ({RECTS_SQL.strip()}) r
+"""
+
 # Query-workload layer (the reference's 1000×0.01-window workload shape,
 # ``test/rtree/Generator.cc:86-91``), derived from `orders`.
 WINDOWS_SQL = f"""

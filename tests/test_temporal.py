@@ -163,3 +163,69 @@ def test_mvr_fixture_has_multiversion_ids(spark):
         vers.groupBy("id").count().filter(F.col("count") > 1).count()
     )
     assert multi > 0
+
+
+# ----------------------------------------------------- MovingRegion algebra --
+
+
+def test_moving_region_vs_pandas(spark):
+    td.register_views(spark, SF_DIR)
+    mr = spark.sql(td.MOVING_REGIONS_SQL)
+    t0, t1 = 0.0, 512.0
+    got = {
+        r.id
+        for r in temporal.moving_region_range_query(mr, *W, t0, t1).collect()
+    }
+    pdf = mr.toPandas()
+    want = set()
+    for _, r in pdf.iterrows():
+        iv = [t0, t1]
+        for c0, c1, bound, upper in (
+            (r.xmin, r.vxlo, W[2], True),
+            (r.xmax, r.vxhi, W[0], False),
+            (r.ymin, r.vylo, W[3], True),
+            (r.ymax, r.vyhi, W[1], False),
+        ):
+            if c1 == 0.0:
+                ok = c0 <= bound if upper else c0 >= bound
+                lo, hi = (-1e18, 1e18) if ok else (1e18, -1e18)
+            else:
+                t = (bound - c0) / c1
+                if (c1 > 0) == upper:
+                    lo, hi = -1e18, t
+                else:
+                    lo, hi = t, 1e18
+            iv = [max(iv[0], lo), min(iv[1], hi)]
+        if iv[0] <= iv[1]:
+            want.add(r.id)
+    assert got == want and got
+
+
+def test_moving_region_growing_box_enters_late(spark):
+    """A box whose high edge grows (vhi > vlo = 0) reaches the window even
+    though its low edge never moves — the velocity-MBR algebra, not a
+    point trajectory."""
+    rows = [(1, 0.0, 0.3, 0.05, 0.35, 0.0, 0.0, 0.004, 0.0),
+            (2, 0.0, 0.3, 0.05, 0.35, 0.0, 0.0, 0.0, 0.0)]
+    df = spark.createDataFrame(
+        rows, "id long, xmin double, ymin double, xmax double, ymax double, "
+              "vxlo double, vylo double, vxhi double, vyhi double"
+    )
+    got = {
+        r.id
+        for r in temporal.moving_region_range_query(
+            df, *W, 0.0, 100.0
+        ).collect()
+    }
+    assert got == {1}  # id 2's static box never reaches x ≥ 0.25
+
+
+def test_tpr_horizon_guard(spark):
+    """TPRTree.cc:1211-1212 — queries outside [now, now+horizon) rejected."""
+    df = spark.createDataFrame(
+        [(1, 0.3, 0.3, 0.0, 0.0)], ["id", "x", "y", "vx", "vy"]
+    )
+    with pytest.raises(ValueError):
+        temporal.moving_range_query(df, *W, 0.0, 600.0, horizon=512.0)
+    # inside the horizon: fine
+    temporal.moving_range_query(df, *W, 0.0, 100.0, horizon=512.0).collect()
