@@ -35,7 +35,9 @@ def _scaling_extras() -> dict:
     return {
         "scaling_efficiency_join_tile": r.get("scaling_efficiency_join_tile"),
         "scaling_efficiency_full_pipeline": r.get("scaling_efficiency_full_pipeline"),
-        "scaling_efficiency_adjusted": r.get("adjusted_efficiency_join_tile"),
+        "scaling_efficiency_weak": r.get("weak_efficiency_full_pipeline"),
+        "scaling_idle_strong_join_tile": r.get("idle_strong_join_tile"),
+        "scaling_methodology": r.get("methodology"),
         "vm_contention_factor": r.get("vm_contention_factor"),
     }
 
@@ -47,6 +49,11 @@ def main() -> None:
     n_images = int(os.environ.get("BENCH_IMAGES", str(int(float(sf) * 1_000_000))))
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    # Codec stages are CPU-bound: split their input by compute, not IO
+    # (128MB default splits collapse the small image table into a handful
+    # of tasks and starve the cores — see scripts/bench_scaling.py).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(256 * 1024))
     conf = EngineConfig(target_partitions=cpus)
 
     # Warm the JVM/Arrow paths once so per-query numbers are steady-state.
