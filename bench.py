@@ -49,11 +49,6 @@ def main() -> None:
     n_images = int(os.environ.get("BENCH_IMAGES", str(int(float(sf) * 1_000_000))))
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
-    # Codec stages are CPU-bound: split their input by compute, not IO
-    # (128MB default splits collapse the small image table into a handful
-    # of tasks and starve the cores — see scripts/bench_scaling.py).
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
-    spark.conf.set("spark.sql.files.openCostInBytes", str(256 * 1024))
     conf = EngineConfig(target_partitions=cpus)
 
     # Warm the JVM/Arrow paths once so per-query numbers are steady-state.
@@ -102,6 +97,13 @@ def main() -> None:
         for wx, wy in rng_windows[:5]
     ) / 5.0
 
+    # Codec stages are CPU-bound: split their input by compute, not IO
+    # (128MB default splits collapse the small image table into a handful
+    # of tasks and starve the cores — see scripts/bench_scaling.py).  Set
+    # ONLY for the pipeline section: scan-bound analytics queries above
+    # want IO-sized splits.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(256 * 1024))
     polys = td.polys(spark, sf_dir)
     images = pipeline.materialize_images(
         spark, n_images, f"/tmp/libspatialindex_spark_bench/images_{n_images}",

@@ -111,7 +111,11 @@ def minhash_lsh_pairs(
     # Two materialization boundaries: (1) hash each shingle ONCE (md5 is the
     # expensive part — projection collapse would inline it into all 16 sig
     # exprs, a 16× blow-up), (2) the signed base feeds BOTH join sides.
-    hashed = df.select(
+    # Repartition first: a small doc table reads as 1-2 splits and would
+    # run the whole hash/signature stage on as many cores (measured 5-10×
+    # on the bench fixture); at 100 TB the source is already wide.
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    hashed = df.repartition(npart, F.col(id_col)).select(
         F.col(id_col).alias("_id"),
         sh.alias("_sh"),
         F.transform(sh, lambda s: _hash_expr(s, portable)).alias("_hv"),
@@ -124,7 +128,10 @@ def minhash_lsh_pairs(
         F.array_min(F.transform(F.col("_hv"), _mk(a, b)))
         for a, b in MINHASH_PARAMS[:n_hashes]
     ]
-    base = hashed.select("_id", F.array(*sigs).alias("_sig"))
+    # Persist the signature table too (id + 16 longs — tiny): banded left
+    # and right both derive from it, and the interpreted array_min/transform
+    # HOFs would otherwise re-evaluate per join side (measured 2.5×).
+    base = hashed.select("_id", F.array(*sigs).alias("_sig")).persist()
     # The banded exchange carries ONLY (id, band, band-signature): the full
     # shingle arrays never ride the candidate shuffle — they are joined
     # back by doc id for the verify stage.  At 100 TB the shingle table is
@@ -263,8 +270,12 @@ def simhash_near_pairs(
     configs keep h ≤ 8 (h=3 → 4 blocks of 15 bits is the classic web-dedup
     setting)."""
     sig = simhash60(F.col(text_col))
-    # persist: the pandas-UDF signature feeds both join sides
-    base = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).persist()
+    # persist: the pandas-UDF signature feeds both join sides; repartition
+    # so the Arrow-batched UDF uses every core even on a 1-split source
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(npart, F.col(id_col)).select(
+        F.col(id_col).alias("_id"), sig.alias("_sig")
+    ).persist()
     keys = F.array(
         *[
             F.struct(

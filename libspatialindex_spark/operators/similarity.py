@@ -189,7 +189,10 @@ def quantized_cosine_pairs(
 
     # Quantize + norm ONCE per vector behind a persist boundary — the cross
     # join would otherwise re-evaluate the interpreted HOF per pair side.
-    base = df.select(
+    # Repartition: a small embeddings table reads as one split and would
+    # quantize on one core.
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(npart, F.col(id_col)).select(
         F.col(id_col).alias("_id"), qv.alias("_q"), n2.alias("_n2")
     ).persist()
     dot = F.aggregate(
@@ -305,7 +308,8 @@ def lsh_near_dup_pairs(
     qv, n2 = _quant_cos_cols(vec_col)
     keys = band_keys_udf(planes, bands, rows_per_band)
 
-    base = df.select(
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(npart, F.col(id_col)).select(
         F.col(id_col).alias("_id"),
         qv.alias("_q"),
         n2.alias("_n2"),
