@@ -135,3 +135,67 @@ class Index:
 
     def is_valid(self) -> bool:
         return self.stored.validate()
+
+
+@dataclass
+class IndexND:
+    """N-dimensional index handle — the C API's ``Dimension`` property
+    honored beyond 2 (``Index_Create`` accepts any dimension > 1,
+    ``src/rtree/RTree.cc:306-308``; the fork ships 3-D drivers for every
+    index family).  Same method surface as :class:`Index`, with per-axis
+    lo/hi lists in place of 4-tuples."""
+
+    stored: "object"  # nd.NDStoredIndex
+
+    @classmethod
+    def create(cls, df: DataFrame, path: str, axes, dims, **kw) -> "IndexND":
+        from libspatialindex_spark.operators import nd
+
+        conf = nd.NDConfig(axes=tuple(tuple(a) for a in axes))
+        box = nd.NDBox(dims=tuple(tuple(d) for d in dims))
+        return cls(stored=nd.build_index_nd(df, path, conf, box, **kw))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IndexND":
+        from libspatialindex_spark.operators import nd
+
+        return cls(stored=nd.load_index_nd(spark, path))
+
+    def _rel(self):
+        return self.stored.relation()
+
+    def intersects(self, qlo, qhi, offset: int = 0, limit: int | None = None,
+                   order_by: str = "id") -> DataFrame:
+        from libspatialindex_spark.operators import nd
+
+        out = nd.intersects_query_nd(self._rel(), list(qlo), list(qhi))
+        return Index._page(out, order_by, offset, limit)
+
+    def contains(self, qlo, qhi) -> DataFrame:
+        from libspatialindex_spark.operators import nd
+
+        return nd.contains_what_query_nd(self._rel(), list(qlo), list(qhi))
+
+    def nearest(self, pt, k: int) -> DataFrame:
+        from libspatialindex_spark.operators import nd
+
+        return nd.knn_query_nd(self._rel(), list(pt), k)
+
+    def intersects_count(self, qlo, qhi) -> int:
+        from libspatialindex_spark.operators import nd
+
+        return nd.count_intersects_nd(
+            self._rel(), list(qlo), list(qhi)
+        ).collect()[0]["n"]
+
+    def bounds(self) -> tuple:
+        from libspatialindex_spark.operators import nd
+
+        r = nd.bounds_nd(self._rel()).collect()[0]
+        d = self._rel().box.d
+        return tuple(r[f"lo{i}"] for i in range(d)) + tuple(
+            r[f"hi{i}"] for i in range(d)
+        )
+
+    def is_valid(self) -> bool:
+        return self.stored.validate()

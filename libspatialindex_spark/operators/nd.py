@@ -190,6 +190,24 @@ def knn_query_nd(
         cand.unpersist()
 
 
+def count_intersects_nd(
+    rel: NDRelation, qlo: list[float], qhi: list[float]
+) -> DataFrame:
+    """A1 in d dims — Index_Intersects_count analog."""
+    return intersects_query_nd(rel, qlo, qhi).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def bounds_nd(rel: NDRelation) -> DataFrame:
+    """A5 in d dims — root MBR: one row with lo_i / hi_i per axis."""
+    aggs = []
+    for i, (lo, hi) in enumerate(rel.box.dims):
+        aggs.append(F.min(lo).alias(f"lo{i}"))
+        aggs.append(F.max(hi).alias(f"hi{i}"))
+    return rel.df.agg(*aggs)
+
+
 # -------------------------------------------------------------- index build
 
 

@@ -183,3 +183,47 @@ def test_3d_index_build_parity_and_pruning(spark, r3, r3_pdf, tmp_path):
         r.id for r in nd.knn_query_nd(rel_raw, [0.5, 0.5, 0.5], 10).collect()
     }
     assert got_knn == want_knn
+
+
+def test_nd_count_and_bounds(rel3, r3_pdf):
+    from libspatialindex_spark.operators import nd as ndm
+
+    n = ndm.count_intersects_nd(rel3, W3_LO, W3_HI).collect()[0]["n"]
+    p = r3_pdf
+    m = (
+        ~((p.xmin > W3_HI[0]) | (p.xmax < W3_LO[0]))
+        & ~((p.ymin > W3_HI[1]) | (p.ymax < W3_LO[1]))
+        & ~((p.wmin > W3_HI[2]) | (p.wmax < W3_LO[2]))
+    )
+    assert n == int(m.sum())
+    b = ndm.bounds_nd(rel3).collect()[0]
+    assert b["lo0"] == p.xmin.min() and b["hi2"] == p.wmax.max()
+
+
+def test_index_nd_facade(spark, r3, r3_pdf, tmp_path):
+    """IndexND: the C API surface at Dimension=3 (sidx Index_Create with
+    a Dimension property — RTree.cc:306-308 accepts any dim > 1)."""
+    from libspatialindex_spark.api import IndexND
+
+    idx = IndexND.create(
+        r3, str(tmp_path / "i3"), axes=AX3, dims=BOX3.dims
+    )
+    assert idx.is_valid()
+    loaded = IndexND.load(spark, str(tmp_path / "i3"))
+    got = {r.id for r in loaded.intersects(W3_LO, W3_HI).collect()}
+    p = r3_pdf
+    m = (
+        ~((p.xmin > W3_HI[0]) | (p.xmax < W3_LO[0]))
+        & ~((p.ymin > W3_HI[1]) | (p.ymax < W3_LO[1]))
+        & ~((p.wmin > W3_HI[2]) | (p.wmax < W3_LO[2]))
+    )
+    assert got == set(p.id[m])
+    assert loaded.intersects_count(W3_LO, W3_HI) == int(m.sum())
+    b = loaded.bounds()
+    assert len(b) == 6 and b[0] == p.xmin.min() and b[5] == p.wmax.max()
+    # offset/limit paging, deterministic by id
+    page = loaded.intersects(W3_LO, W3_HI, offset=5, limit=10).collect()
+    allrows = sorted(got)
+    assert [r.id for r in page] == allrows[5:15]
+    k = {r.id for r in loaded.nearest([0.5, 0.5, 0.5], 10).collect()}
+    assert len(k) >= 10 and k <= set(p.id)
