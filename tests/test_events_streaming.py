@@ -95,3 +95,68 @@ def test_mvr_multi_version_dedup(spark, conf):
         ).collect()
     )
     assert got == [7, 8]
+
+
+# -------------------------------------------- stateful streaming sessions --
+
+
+def test_stateful_streaming_sessions_match_batch(spark, ev, tmp_path):
+    """applyInPandasWithState sessionizer: closed sessions emitted by the
+    stream equal the batch sessionize() output minus each user's final
+    (still-open) session — including sessions that SPAN micro-batches."""
+    import os
+    import time
+
+    from libspatialindex_spark.streaming.sessions import (
+        stateful_sessionize_stream,
+    )
+
+    sub = ev.filter(F.col("user_id") % 7 == 0)
+    # two time-ordered files => two micro-batches; sessions crossing the
+    # cut must be stitched by the state store, not split
+    pdf = sub.toPandas().sort_values(["ts", "event_id"])
+    cut = len(pdf) // 2
+    src = tmp_path / "sess_src"
+    os.makedirs(src)
+    first, second = pdf.iloc[:cut], pdf.iloc[cut:]
+    spark.createDataFrame(first).coalesce(1).write.parquet(str(src / "a"))
+    time.sleep(1.1)  # file-source ordering is by modification time
+    spark.createDataFrame(second).coalesce(1).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = stateful_sessionize_stream(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.start_epoch, r.end_epoch, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+
+    batch = events.sessionize(sub, gap_seconds=1800).toPandas()
+    # drop each user's final session (stays open in the state store)
+    last = batch.sort_values("session_id").groupby("user_id").tail(1)
+    closed = batch.merge(
+        last[["user_id", "session_id"]],
+        on=["user_id", "session_id"],
+        how="left",
+        indicator=True,
+    ).query("_merge == 'left_only'")
+    want = {
+        (int(r.user_id), int(r.start_epoch), int(r.end_epoch), int(r.n_events))
+        for _, r in closed.iterrows()
+    }
+    assert got == want and len(want) > 0
