@@ -338,6 +338,19 @@ def q42_ann_lsh(spark, sf_dir):
     return similarity.ann_lsh_cosine(emb, _qvec(spark, sf_dir), ANN_K)
 
 
+IVF_STRIDE, IVF_PROBE = 31, 6
+
+
+def q45_ann_ivf(spark, sf_dir):
+    """IVF ANN: sampled-data coarse quantizer (vec_id % 31 == 0), integer
+    L2 assignment, 6-list probe, quantized-cosine tie-inclusive re-rank.
+    Oracle reconstructs the identical centroids from the same table."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ann_ivf_cosine(
+        emb, _qvec(spark, sf_dir), ANN_K, stride=IVF_STRIDE, n_probe=IVF_PROBE
+    )
+
+
 def q43_embed_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs on quantized vectors (exact oracle)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -398,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_ann_quantized": q40_ann_quantized,
         "q41_ann_cosine": q41_ann_cosine,
         "q42_ann_lsh": q42_ann_lsh,
+        "q45_ann_ivf": q45_ann_ivf,
         "q43_embed_near_dup": q43_embed_near_dup,
         "q44_embed_near_dup_lsh": q44_embed_near_dup_lsh,
         "q50_event_hourly_rollup": q50_event_hourly_rollup,
@@ -634,6 +648,54 @@ def _ann_lsh_oracle() -> str:
           FROM (SELECT cos_q FROM d ORDER BY cos_q DESC LIMIT {ANN_K})
         )
         SELECT vec_id, cos_q FROM d WHERE cos_q >= (SELECT kd FROM kth)
+    """
+
+
+def _ann_ivf_oracle() -> str:
+    """q45: same-table centroid reconstruction (vec_id % stride = 0),
+    integer-L2 assignment with (dist, c) tie order, probe set = n_probe
+    nearest lists to vec 0, tie-inclusive quantized-cosine top-k."""
+    cdist = (
+        "CAST(list_aggregate(list_transform(generate_series(1, 64), "
+        "i -> (v.q[i] - ct.cq[i]) * (v.q[i] - ct.cq[i])), 'sum') AS BIGINT)"
+    )
+    return f"""
+        WITH qv AS ({_QV}),
+        ct AS (
+          SELECT vec_id AS c, q AS cq FROM qv WHERE vec_id % {IVF_STRIDE} = 0
+        ),
+        d AS (SELECT v.vec_id, ct.c, {cdist} AS dist FROM qv v, ct),
+        assign AS (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+            FROM d
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT c FROM d WHERE vec_id = 0 ORDER BY dist, c LIMIT {IVF_PROBE}
+        ),
+        n AS (SELECT vec_id, q, {_N2} AS n2 FROM qv),
+        qside AS (SELECT q AS qq, n2 AS qn2 FROM n WHERE vec_id = 0),
+        cand AS (
+          SELECT vec_id FROM assign WHERE c IN (SELECT c FROM probes)
+        ),
+        dd AS (
+          SELECT n.vec_id,
+            CAST(CAST(list_aggregate(
+              list_transform(generate_series(1, 64),
+                             i -> n.q[i] * qside.qq[i]), 'sum') AS BIGINT)
+                 AS DOUBLE)
+              / SQRT(CAST(n.n2 AS DOUBLE) * CAST(qside.qn2 AS DOUBLE))
+              AS cos_q
+          FROM n, qside
+          WHERE n.vec_id IN (SELECT vec_id FROM cand)
+        ),
+        kth AS (
+          SELECT MIN(cos_q) AS kd
+          FROM (SELECT cos_q FROM dd ORDER BY cos_q DESC LIMIT {ANN_K})
+        )
+        SELECT vec_id, cos_q FROM dd WHERE cos_q >= (SELECT kd FROM kth)
     """
 
 
@@ -952,6 +1014,7 @@ def oracle_sql() -> dict[str, str]:
         "q41_ann_cosine": _ann_cosine_oracle(),
         "q42_ann_lsh": _ann_lsh_oracle(),
         "q44_embed_near_dup_lsh": _lsh_near_dup_oracle(),
+        "q45_ann_ivf": _ann_ivf_oracle(),
         "q50_event_hourly_rollup": """
             SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hour_epoch,
                    event_type,

@@ -349,6 +349,74 @@ def lsh_near_dup_pairs(
     )
 
 
+def ivf_centroids_from_data(
+    df: DataFrame,
+    stride: int = 31,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF coarse-quantizer centroids = every ``stride``-th data vector
+    (the classic k-means init; fully data-derived, so the DuckDB oracle
+    reconstructs the identical centroid set from the same table).  At
+    scale the centroids are fit offline (k-means over a sample) and stored
+    with the index manifest — the query plan below is unchanged."""
+    rows = df.filter(F.col(id_col) % stride == 0).select(
+        id_col, vec_col
+    ).collect()
+    rows.sort(key=lambda r: r[0])
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.array(
+        [[quant_py(v) for v in r[1]] for r in rows], dtype=np.int64
+    )
+    return cids, C
+
+
+def ivf_cell_udf(cids: np.ndarray, C: np.ndarray):
+    """Arrow-batched IVF assignment: integer L2 to every centroid, argmin
+    (ties → smallest centroid id; centroid rows are id-ascending).  Exact
+    int64 math ⇒ the cell of every vector is a cross-engine fact."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _cell(vecs):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        q = np.floor(mat * QUANT_SCALE + 0.5).astype(np.int64)
+        d = ((q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(cids[d.argmin(axis=1)])
+
+    return _cell
+
+
+def ann_ivf_cosine(
+    df: DataFrame,
+    qvec: list[float],
+    k: int,
+    stride: int = 31,
+    n_probe: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN (the brief's named scale path): coarse-quantize vectors to
+    inverted lists (cell = nearest centroid), probe the ``n_probe`` lists
+    nearest to the query, exact quantized-cosine re-rank (tie-inclusive).
+
+    At 100 TB the ``_cell`` column is materialized at build time and the
+    probe set is a partition-pruning IN-list — the same machinery as the
+    spatial Z-cover; here it is computed in-flight for the differential
+    oracle."""
+    cids, C = ivf_centroids_from_data(df, stride, vec_col, id_col)
+    qq = np.array([quant_py(v) for v in qvec], dtype=np.int64)
+    qd = ((C - qq[None, :]) ** 2).sum(axis=1)
+    probes = [int(c) for c in cids[np.argsort(qd, kind="stable")[:n_probe]]]
+    cell = ivf_cell_udf(cids, C)
+    cand = df.withColumn("_cell", cell(F.col(vec_col))).filter(
+        F.col("_cell").isin(probes)
+    )
+    return ann_topk_cosine_quantized(cand, qvec, k, vec_col=vec_col, id_col=id_col)
+
+
 def ann_lsh_cosine(
     df: DataFrame,
     qvec: list[float],

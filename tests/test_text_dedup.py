@@ -236,3 +236,27 @@ def test_ann_cosine_quantized_tie_inclusive(emb, emb_np):
     kth = np.sort(cos)[::-1][9]
     want = set(map(int, ids[cos >= kth]))
     assert {r.vec_id for r in res} == want
+
+
+def test_ann_ivf_recall_and_pruning(emb, emb_np):
+    """IVF ANN: probes a strict subset of inverted lists yet recalls the
+    exact quantized-cosine top-k on the fixture."""
+    ids, mat = emb_np
+    q = [float(v) for v in mat[0]]
+    exact = {
+        r.vec_id
+        for r in similarity.ann_topk_cosine_quantized(emb, q, 10).collect()
+    }
+    ivf = similarity.ann_ivf_cosine(emb, q, 10, stride=31, n_probe=6)
+    got = {r.vec_id for r in ivf.collect()}
+    assert len(exact & got) / len(exact) >= 0.9
+    # selectivity: candidate set is a strict subset of the table
+    cids, C = similarity.ivf_centroids_from_data(emb, 31)
+    assert 4 <= len(cids) < len(ids)
+    qq = np.floor(mat.astype(np.float64) * 100000.0 + 0.5).astype(np.int64)
+    d = ((qq[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    cells = cids[d.argmin(axis=1)]
+    qd = ((C - qq[0]) ** 2).sum(axis=1)
+    probes = set(cids[np.argsort(qd, kind="stable")[:6]])
+    n_cand = int(np.isin(cells, list(probes)).sum())
+    assert n_cand < len(ids) * 0.6  # real pruning, not a full scan
