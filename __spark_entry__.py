@@ -308,6 +308,17 @@ def q36_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=8)
 
 
+def q37_dedup_groups(spark, sf_dir):
+    """Near-dup GROUPS: minhash pairs → connected components (iterative
+    min-label propagation; the canonical keep-one-per-component dedup).
+    Oracle computes components via a recursive transitive-closure CTE
+    over the same (oracle-exact) pair set."""
+    return dedup.dedup_groups(
+        _docs(spark, sf_dir), threshold=0.4, k=8, n_hashes=16, bands=4,
+        portable=True,
+    )
+
+
 def _qvec(spark, sf_dir):
     row = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -408,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_fingerprint": q34_fingerprint,
         "q35_minhash_pairs": q35_minhash_pairs,
         "q36_simhash_pairs": q36_simhash_pairs,
+        "q37_dedup_groups": q37_dedup_groups,
         "q40_ann_quantized": q40_ann_quantized,
         "q41_ann_cosine": q41_ann_cosine,
         "q42_ann_lsh": q42_ann_lsh,
@@ -504,6 +516,26 @@ def _minhash_oracle() -> str:
           JOIN sh b ON b.doc_id = c.id2
         )
         SELECT id1, id2, jaccard FROM verified WHERE jaccard >= 0.4
+    """
+
+
+def _dedup_groups_oracle() -> str:
+    """q37: transitive closure over the minhash pair set (recursive CTE —
+    fine at oracle scale), component id = min reachable id (incl. self)."""
+    return f"""
+        WITH RECURSIVE p AS ({_minhash_oracle().strip()}),
+        edges AS (
+          SELECT id1 AS a, id2 AS b FROM p
+          UNION
+          SELECT id2 AS a, id1 AS b FROM p
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id
+        FROM reach GROUP BY a
     """
 
 
@@ -1010,6 +1042,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q35_minhash_pairs": _minhash_oracle(),
         "q36_simhash_pairs": _simhash_oracle(),
+        "q37_dedup_groups": _dedup_groups_oracle(),
         "q40_ann_quantized": _ann_oracle(),
         "q41_ann_cosine": _ann_cosine_oracle(),
         "q42_ann_lsh": _ann_lsh_oracle(),

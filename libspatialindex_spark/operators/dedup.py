@@ -191,6 +191,88 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id1",
+    b_col: str = "id2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Dedup GROUPS from near-dup pairs: connected components by iterative
+    min-label propagation (the standard distributed CC — each round every
+    node adopts the smallest label in its closed neighborhood; rounds
+    needed = graph diameter, which for near-dup clusters is tiny).
+
+    Output: (doc_id, component_id) for every node appearing in ``pairs``,
+    ``component_id`` = smallest doc id in the component — the canonical
+    "keep" document.  Driver only checks a per-round convergence count;
+    all data movement is joins/groupBys on the id key.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .union(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).persist()
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    labels.withColumnRenamed("node", "b2"),
+                    edges["b"] == F.col("b2"),
+                )
+                .groupBy("a")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", "label")
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        # nodes-in-pairs only — small; checkpoint so every loop cache frees
+        out = labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+        ).localCheckpoint()
+        labels.unpersist()
+        return out
+    finally:
+        edges.unpersist()
+
+
+def dedup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.4,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Near-dup GROUPS over a document table: minhash-LSH pairs →
+    connected components → (doc_id, component_id).  The end-to-end
+    web-scale dedup primitive (keep one doc per component)."""
+    pairs = minhash_lsh_pairs(
+        df, text_col=text_col, id_col=id_col, threshold=threshold,
+        **minhash_kwargs,
+    )
+    return connected_components(pairs)
+
+
 def simhash60_py(text: str, k: int = 8) -> int:
     """Reference SimHash (60-bit, md5-derived shingle hashes) — the single
     source of truth shared by the Spark UDF and the pytest oracle."""

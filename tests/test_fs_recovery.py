@@ -169,3 +169,15 @@ def test_knn_beyond_world_radius(spark):
     # k > N: still returns every entry rather than hanging/dropping
     got_all = knn.knn_query(rel, 0.0, 0.0, k=10)
     assert {r.id for r in got_all.collect()} == {1, 2, 3}
+
+
+def test_delete_every_row_leaves_valid_empty_index(spark, conf, tmp_path):
+    """Deleting ALL rows must not break the manifest (explicit schema on
+    the empty rewrite — ADVICE mutations.py:127)."""
+    df = td.rects(spark, SF_DIR).limit(500)
+    idx = index_build.build_index(df, str(tmp_path / "idx"), conf)
+    victims = df.select("id")
+    mutations.delete_rows(idx, victims)
+    m = idx.manifest()
+    assert m.count() == 0  # empty but readable, schema intact
+    assert set(m.columns) >= {"bucket", "zmin", "n_rows", "build_id"}

@@ -260,3 +260,48 @@ def test_ann_ivf_recall_and_pruning(emb, emb_np):
     probes = set(cids[np.argsort(qd, kind="stable")[:6]])
     n_cand = int(np.isin(cells, list(probes)).sum())
     assert n_cand < len(ids) * 0.6  # real pruning, not a full scan
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Min-label propagation handles a 5-node chain (needs >1 round),
+    a separate triangle, and an isolated pair."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain -> comp 1
+         (10, 11), (11, 12), (10, 12),        # triangle -> comp 10
+         (20, 21)],                           # pair -> comp 20
+        ["id1", "id2"],
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_groups_end_to_end(docs, docs_pdf):
+    """dedup_groups = minhash pairs -> components; every grouped doc pair
+    inside one component is connected through >=0.4-jaccard edges."""
+    groups = dedup.dedup_groups(docs, threshold=0.4).toPandas()
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.4).toPandas()
+    import collections
+    adj = collections.defaultdict(set)
+    for _, r in pairs.iterrows():
+        adj[r.id1].add(r.id2); adj[r.id2].add(r.id1)
+    # python union-find truth
+    seen, truth = set(), {}
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        stack, comp = [start], []
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n); comp.append(n)
+            stack.extend(adj[n] - seen)
+        root = min(comp)
+        for n in comp:
+            truth[n] = root
+    got = dict(zip(groups.doc_id, groups.component_id))
+    assert got == truth and len(truth) > 0
