@@ -272,6 +272,12 @@ def q31_token_count(spark, sf_dir):
     return d.select("doc_id", text.token_count("text").alias("n_tokens"))
 
 
+def q38_token_bpe(spark, sf_dir):
+    """BPE-ish token estimate (regex lex + ceil(len/4) subwords)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", text.token_count_bpe("text").alias("n_bpe"))
+
+
 def q32_quality(spark, sf_dir):
     d = _docs(spark, sf_dir)
     feats = text.quality_features("text")
@@ -420,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_minhash_pairs": q35_minhash_pairs,
         "q36_simhash_pairs": q36_simhash_pairs,
         "q37_dedup_groups": q37_dedup_groups,
+        "q38_token_bpe": q38_token_bpe,
         "q40_ann_quantized": q40_ann_quantized,
         "q41_ann_cosine": q41_ann_cosine,
         "q42_ann_lsh": q42_ann_lsh,
@@ -1037,6 +1044,16 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "q33_langid": _lang_oracle(),
+        "q38_token_bpe": f"""
+            SELECT doc_id,
+              CAST(COALESCE(list_aggregate(
+                list_transform(
+                  regexp_extract_all(text, '{text.BPE_PATTERN}'),
+                  t -> CAST(CEIL(CAST(length(t) AS DOUBLE)
+                                 / {text.BPE_CHARS_PER_TOKEN}) AS BIGINT)),
+                'sum'), 0) AS BIGINT) AS n_bpe
+            FROM documents
+        """,
         "q34_fingerprint": f"""
             SELECT doc_id, {_H60.format(s='text')} AS fp FROM documents
         """,

@@ -169,16 +169,31 @@ def internal_nodes_query(
     )
 
 
+TRAVERSAL_ORDER = "traversal"
+
+
 def with_offset_limit(
-    df: DataFrame, order_by: str, offset: int = 0, limit: int | None = None
+    df: DataFrame,
+    order_by: str | list = "id",
+    offset: int = 0,
+    limit: int | None = None,
 ) -> DataFrame:
     """A2 — deterministic offset/limit over an explicit order.
 
     The reference applies offset/limit in *traversal order*
-    (``sidx_api.cc:583-584``), which has no distributed analog; we require
-    an explicit sort key for determinism.
+    (``sidx_api.cc:583-584``).  ``order_by="traversal"`` reproduces the
+    stored index's own traversal order — (bucket, z, id), i.e. the order a
+    DFS over the two-level structure visits entries — when those columns
+    exist; plain relations need an explicit key (default: id).  Ties still
+    break on id so paging is total and stable either way.
     """
-    out = df.orderBy(order_by)
+    if order_by == TRAVERSAL_ORDER:
+        cols = [c for c in ("bucket", "z") if c in df.columns] + ["id"]
+        out = df.orderBy(*cols)
+    else:
+        out = df.orderBy(
+            *(order_by if isinstance(order_by, list) else [order_by])
+        )
     if offset:
         out = out.offset(offset)
     if limit is not None:

@@ -37,6 +37,27 @@ def token_count(col) -> Column:
     ).cast("long")
 
 
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"  # identical in Java regex and RE2
+BPE_CHARS_PER_TOKEN = 4.0  # the classic ~4-chars/token BPE estimate
+
+
+def token_count_bpe(col) -> Column:
+    """BPE-ish token estimate: lex into GPT-style pieces (letter runs /
+    digit runs / single punctuation) with a regex whose semantics match in
+    Java regex (Spark) and RE2 (DuckDB), then charge ``ceil(len/4)``
+    subword tokens per piece — the standard chars-per-token heuristic.
+    Pure Column expressions (regexp_extract_all + array fold)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    toks = F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0))
+    per = F.transform(
+        toks,
+        lambda t: F.ceil(
+            F.length(t).cast("double") / F.lit(BPE_CHARS_PER_TOKEN)
+        ).cast("long"),
+    )
+    return F.aggregate(per, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
 def occurrences(col, needle: str) -> Column:
     """Non-overlapping occurrence count of ``needle`` (replace trick —
     portable, no regex escaping pitfalls)."""

@@ -69,3 +69,27 @@ def test_load_existing(spark, conf, tmp_path):
     reloaded = Index.load(spark, str(tmp_path / "idx"), conf)
     assert reloaded.is_valid()
     assert reloaded.intersects_count((0.0, 0.0, 1.0, 1.0)) == df.count()
+
+
+def test_offset_limit_traversal_order(idx):
+    """order_by='traversal' pages in the stored index's own DFS order
+    (bucket, z, id) — the sidx_api.cc:583-584 traversal-order analog."""
+    from libspatialindex_spark.operators import range_query
+
+    index, _ = idx
+    W = (0.2, 0.2, 0.6, 0.6)
+    hits = range_query.intersects_query(index.stored.relation(), *W)
+    full = [
+        (r.bucket, r.z, r.id)
+        for r in range_query.with_offset_limit(
+            hits, order_by="traversal"
+        ).collect()
+    ]
+    assert full == sorted(full)  # really (bucket, z, id)-ordered
+    page = [
+        (r.bucket, r.z, r.id)
+        for r in range_query.with_offset_limit(
+            hits, order_by="traversal", offset=7, limit=5
+        ).collect()
+    ]
+    assert page == full[7:12]

@@ -305,3 +305,22 @@ def test_dedup_groups_end_to_end(docs, docs_pdf):
             truth[n] = root
     got = dict(zip(groups.doc_id, groups.component_id))
     assert got == truth and len(truth) > 0
+
+
+def test_token_count_bpe_matches_python(docs, docs_pdf):
+    import math
+    import re
+
+    got = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", text.token_count_bpe("text").alias("n")
+        ).collect()
+    }
+    pat = re.compile(text.BPE_PATTERN)
+    for _, row in docs_pdf.head(100).iterrows():
+        want = sum(
+            math.ceil(len(t) / text.BPE_CHARS_PER_TOKEN)
+            for t in pat.findall(row.text)
+        )
+        assert got[row.doc_id] == want
