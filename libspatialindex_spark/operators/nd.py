@@ -190,6 +190,73 @@ def knn_query_nd(
         cand.unpersist()
 
 
+def _idx_col(c, lo: float, step: float, n: int):
+    i = F.floor((c - F.lit(lo)) / F.lit(step))
+    return F.least(F.greatest(i, F.lit(0)), F.lit(n - 1)).cast("long")
+
+
+def self_join_query_nd(
+    rel: NDRelation,
+    qlo: list[float],
+    qhi: list[float],
+    id_col: str = "id",
+    join_bits: int = 6,
+) -> DataFrame:
+    """Q5 in d dims: pairs (id1, id2), both orders, id1 ≠ id2, both boxes
+    intersecting the window and each other (closed intervals) — the 2-D
+    cell-join + reference-corner dedup generalized: each box explodes to
+    its covering d-cells, pairs meet on the cell equi-join key, and a pair
+    is emitted only from the cell containing the intersection's lower
+    corner (which lies in exactly one cell — no dropDuplicates shuffle)."""
+    d = rel.conf.d
+    n = 1 << join_bits
+    steps = [(hi - lo) / n for lo, hi in rel.conf.axes]
+
+    base = rel.pruned_for_box(qlo, qhi).filter(
+        G.intersects_nd(rel.box.lows(), rel.box.highs(), qlo, qhi)
+    ).select(id_col, *[c for p in rel.box.dims for c in p]).persist()
+
+    cells = base
+    cell = None
+    tmp = []
+    for a, ((lo_c, hi_c), (wlo, _), s) in enumerate(
+        zip(rel.box.dims, rel.conf.axes, steps)
+    ):
+        i0 = _idx_col(F.col(lo_c), wlo, s, n)
+        i1 = _idx_col(F.col(hi_c), wlo, s, n)
+        cells = cells.withColumn(f"_i{a}", F.explode(F.sequence(i0, i1)))
+        tmp.append(f"_i{a}")
+        cell = (
+            F.col(f"_i{a}")
+            if cell is None
+            else cell * F.lit(n) + F.col(f"_i{a}")
+        )
+    cells = cells.withColumn("cell", cell).drop(*tmp)
+
+    def side(tag: str):
+        sel = [F.col(id_col).alias(f"id{tag}")]
+        for a, (lo_c, hi_c) in enumerate(rel.box.dims):
+            sel.append(F.col(lo_c).alias(f"_{tag}lo{a}"))
+            sel.append(F.col(hi_c).alias(f"_{tag}hi{a}"))
+        return cells.select(*sel, "cell")
+
+    left, right = side("1"), side("2")
+    pair_ok = F.col("id1") != F.col("id2")
+    for a in range(d):
+        pair_ok = pair_ok & ~(
+            (F.col(f"_1lo{a}") > F.col(f"_2hi{a}"))
+            | (F.col(f"_1hi{a}") < F.col(f"_2lo{a}"))
+        )
+    joined = left.join(right, on="cell", how="inner").filter(pair_ok)
+
+    ref_cell = None
+    for a, ((wlo, _), s) in enumerate(zip(rel.conf.axes, steps)):
+        r = F.greatest(F.col(f"_1lo{a}"), F.col(f"_2lo{a}"))
+        i = _idx_col(r, wlo, s, n)
+        ref_cell = i if ref_cell is None else ref_cell * F.lit(n) + i
+    return joined.filter(ref_cell == F.col("cell")).select("id1", "id2")
+
+
 def count_intersects_nd(
     rel: NDRelation, qlo: list[float], qhi: list[float]
 ) -> DataFrame:

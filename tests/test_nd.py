@@ -227,3 +227,55 @@ def test_index_nd_facade(spark, r3, r3_pdf, tmp_path):
     assert [r.id for r in page] == allrows[5:15]
     k = {r.id for r in loaded.nearest([0.5, 0.5, 0.5], 10).collect()}
     assert len(k) >= 10 and k <= set(p.id)
+
+
+def test_3d_self_join_vs_pandas(rel3, r3_pdf):
+    """3-D window-restricted self-join: both orders, id1 != id2, pairwise
+    intersection — brute-force parity (Exhaustive.cc:190-210 in 3-D)."""
+    qlo, qhi = [0.40, 0.40, 0.40], [0.52, 0.52, 0.52]
+    got = {
+        (r.id1, r.id2)
+        for r in nd.self_join_query_nd(rel3, qlo, qhi).collect()
+    }
+    p = r3_pdf
+    m = (
+        ~((p.xmin > qhi[0]) | (p.xmax < qlo[0]))
+        & ~((p.ymin > qhi[1]) | (p.ymax < qlo[1]))
+        & ~((p.wmin > qhi[2]) | (p.wmax < qlo[2]))
+    )
+    w = p[m]
+    want = set()
+    rows = list(w.itertuples())
+    for a in rows:
+        for b in rows:
+            if a.id == b.id:
+                continue
+            if not (
+                a.xmin > b.xmax or a.xmax < b.xmin
+                or a.ymin > b.ymax or a.ymax < b.ymin
+                or a.wmin > b.wmax or a.wmax < b.wmin
+            ):
+                want.add((a.id, b.id))
+    assert got == want and got
+
+
+def test_nd_self_join_d2_matches_2d(spark, conf):
+    from libspatialindex_spark.operators import spatial_join
+
+    df = td.rects(spark, SF_DIR)
+    rel2 = SpatialRelation(df, conf, max_extent=(td.MAX_EXTENT,) * 2)
+    reln = nd.NDRelation(
+        df, nd.NDConfig(axes=((0.0, 1.0), (0.0, 1.0))), nd.NDBox()
+    )
+    w = (0.40, 0.40, 0.43, 0.43)
+    a = {
+        (r.id1, r.id2)
+        for r in spatial_join.self_join_query(rel2, *w).collect()
+    }
+    b = {
+        (r.id1, r.id2)
+        for r in nd.self_join_query_nd(
+            reln, [w[0], w[1]], [w[2], w[3]]
+        ).collect()
+    }
+    assert a == b and a
