@@ -225,6 +225,18 @@ def q18_moving_region_range(spark, sf_dir):
     return temporal.moving_region_range_query(mr, *W, *MQ).select("id")
 
 
+def q19_knn_join(spark, sf_dir):
+    """Batch kNN (kNN join) — the reference's test1 workload (N queries ×
+    10NN) as one job: iterative radius doubling over unresolved queries,
+    cell equi-join candidates, per-query tie-inclusive threshold."""
+    rel = _rects_rel(spark, sf_dir)
+    td.register_views(spark, sf_dir)
+    q = spark.sql(
+        f"SELECT qid, qxmin AS qx, qymin AS qy FROM ({td.WINDOWS_SQL.strip()})"
+    )
+    return knn.knn_join(rel, q, K)
+
+
 def q20_pip_join(spark, sf_dir):
     pts = td.points(spark, sf_dir)
     pol = td.polys(spark, sf_dir)
@@ -414,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q09_time_range": q09_time_range,
         "q10_moving_range": q10_moving_range,
         "q18_moving_region_range": q18_moving_region_range,
+        "q19_knn_join": q19_knn_join,
         "q20_pip_join": q20_pip_join,
         "q21_tile_assign": q21_tile_assign,
         "q22_pip_count_by_poly": q22_pip_count_by_poly,
@@ -992,6 +1005,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE GREATEST(tx_lo, ty_lo, {MQ[0]}) <= LEAST(tx_hi, ty_hi, {MQ[1]})
         """,
         "q18_moving_region_range": _moving_region_oracle(),
+        "q19_knn_join": f"""
+            WITH rects AS ({_R}), w AS ({td.WINDOWS_SQL.strip()}),
+            q AS (SELECT qid, qxmin AS qx, qymin AS qy FROM w),
+            d AS (
+              SELECT q.qid, r.id,
+                GREATEST(r.xmin - q.qx, q.qx - r.xmax, 0.0) AS dx,
+                GREATEST(r.ymin - q.qy, q.qy - r.ymax, 0.0) AS dy
+              FROM rects r, q
+            ),
+            dd AS (SELECT qid, id, dx * dx + dy * dy AS dist2 FROM d),
+            kth AS (
+              SELECT qid, MAX(dist2) AS kd FROM (
+                SELECT qid, dist2,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2) AS rn
+                FROM dd
+              ) WHERE rn <= {K} GROUP BY qid
+            )
+            SELECT dd.qid, dd.id, dd.dist2
+            FROM dd JOIN kth ON dd.qid = kth.qid
+            WHERE dd.dist2 <= kth.kd
+        """,
         "q20_pip_join": f"""
             WITH pts AS ({_P}), pol AS ({_G})
             SELECT pts.id, pol.poly_id

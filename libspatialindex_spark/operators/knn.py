@@ -22,7 +22,9 @@ Distributed shape (no global priority queue):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from libspatialindex_spark.functions import geometry as G
@@ -103,3 +105,124 @@ def knn_query(
         return cand.filter(F.col(dist_col) <= F.lit(kth)).localCheckpoint()
     finally:
         cand.unpersist()
+
+
+def knn_join(
+    rel: SpatialRelation,
+    queries: DataFrame,
+    k: int,
+    qid_col: str = "qid",
+    qx_col: str = "qx",
+    qy_col: str = "qy",
+    dist_col: str = "dist2",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Batch kNN (kNN JOIN): for EVERY query point, all entries within the
+    k-th smallest point↔MBR distance (ties kept) — the reference's actual
+    test workload shape (``test/rtree/test1/run``: 1000 queries × 10NN,
+    one ``nearestNeighborQuery`` each) as ONE distributed job.
+
+    Shape: iterative radius doubling over the *unresolved* query subset.
+    Each round joins pending queries to entries through a grid-cell
+    equi-join sized to the current radius (cells ≈ radius → ≤ ~9 cells per
+    query), keeps candidates within the radius, and resolves every query
+    that certified ≥ k candidates (any non-candidate is farther than the
+    radius ≥ its k-th distance, so the candidate set provably contains the
+    true top-k).  The starting radius is seeded from global density
+    (√(k/N) · world — uniform-case one-pass; skewed queries just take
+    another doubling).  Queries still pending past the world radius get
+    the no-cap fallback (min(k, N) rows, like the single-point kNN).
+
+    Output: (qid, id, dist2), tie-inclusive per query.
+    """
+    from libspatialindex_spark.operators.spatial_join import (
+        _cell_of_point,
+        _cells_of_box,
+    )
+
+    conf = rel.conf
+    b = rel.box
+    wxmin, wymin, wxmax, wymax = conf.world
+    world_r = max(wxmax - wxmin, wymax - wymin)
+    n_rows = rel.df.count()
+    r = max(
+        conf.knn_ring_init,
+        1.5 * world_r * math.sqrt(k / max(n_rows, 1)),
+    )
+
+    d2 = G.min_dist2_point(
+        F.col(b.xmin), F.col(b.ymin), F.col(b.xmax), F.col(b.ymax),
+        F.col("_qx"), F.col("_qy"),
+    )
+    pending = queries.select(
+        F.col(qid_col).alias("_qid"),
+        F.col(qx_col).alias("_qx"),
+        F.col(qy_col).alias("_qy"),
+    ).persist()
+    win = Window.partitionBy("_qid")
+    out: DataFrame | None = None
+
+    def resolve(cand: DataFrame, certified) -> tuple[DataFrame, DataFrame]:
+        """Split candidates into resolved result rows + resolved qids."""
+        rn = F.row_number().over(win.orderBy(dist_col, "id"))
+        scored = cand.withColumn("_rn", rn).withColumn(
+            "_kth", F.max(F.when(F.col("_rn") <= k, F.col(dist_col))).over(win)
+        ).withColumn("_cnt", F.count(F.lit(1)).over(win))
+        ok = scored.filter(certified(F.col("_cnt")))
+        rows = ok.filter(F.col(dist_col) <= F.col("_kth")).select(
+            F.col("_qid").alias(qid_col), "id", dist_col
+        )
+        qids = ok.select("_qid").distinct()
+        return rows, qids
+
+    for _ in range(max_rounds):
+        if pending.limit(1).count() == 0:
+            break
+        if r >= world_r:
+            # fallback: no distance cap — min(k, N) semantics
+            cand = pending.crossJoin(rel.df).withColumn(dist_col, d2)
+            rows, _ = resolve(cand, lambda cnt: F.lit(True))
+            out = rows if out is None else out.unionByName(rows)
+            break
+        # cell size ≈ radius: each query covers ≤ ~9 cells
+        bits = max(1, min(8, int(math.floor(math.log2(world_r / r)))))
+        n = 1 << bits
+        ecells = _cells_of_box(rel.df, b, n, conf.world)
+        qbox = pending.withColumn("qxmin", F.col("_qx") - r) \
+            .withColumn("qymin", F.col("_qy") - r) \
+            .withColumn("qxmax", F.col("_qx") + r) \
+            .withColumn("qymax", F.col("_qy") + r)
+        from libspatialindex_spark.operators.relation import BoxCols
+
+        qcells = _cells_of_box(
+            qbox, BoxCols("qxmin", "qymin", "qxmax", "qymax"), n, conf.world
+        ).drop("qxmin", "qymin", "qxmax", "qymax")
+        # Dedup across shared cells WITHOUT dropDuplicates (entry ids are
+        # not unique in general): emit a (query, entry) pair only from the
+        # cell containing the entry box's nearest point to the query — it
+        # lies in the entry's own cell cover AND (dist ≤ r per axis) inside
+        # the query's ±r square, and in exactly one cell.
+        nx = F.greatest(F.col(b.xmin), F.least(F.col("_qx"), F.col(b.xmax)))
+        ny = F.greatest(F.col(b.ymin), F.least(F.col("_qy"), F.col(b.ymax)))
+        cand = (
+            qcells.join(ecells, on="cell")
+            .withColumn(dist_col, d2)
+            .filter(F.col(dist_col) <= F.lit(r * r))
+            .filter(_cell_of_point(nx, ny, n, conf.world) == F.col("cell"))
+            .persist()
+        )
+        rows, done_qids = resolve(cand, lambda cnt: cnt >= k)
+        out = rows if out is None else out.unionByName(rows)
+        # materialize this round's slice before the cache is dropped
+        out = out.localCheckpoint()
+        cand.unpersist()
+        new_pending = pending.join(done_qids, on="_qid", how="left_anti").persist()
+        pending.unpersist()
+        pending = new_pending
+        r *= 2.0
+    pending.unpersist()
+    if out is None:
+        return queries.sparkSession.createDataFrame(
+            [], f"{qid_col} long, id long, {dist_col} double"
+        )
+    return out

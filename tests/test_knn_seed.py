@@ -59,3 +59,44 @@ def test_knn_cache_released(stored, spark):
         knn.knn_query(rel, *P, K).collect()
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after - before <= 3
+
+
+def test_knn_join_matches_per_query_bruteforce(spark, conf, rects_pdf):
+    """Batch kNN join ≡ per-query tie-inclusive brute force."""
+    from pyspark.sql import functions as F
+
+    df = td.rects(spark, SF_DIR)
+    rel = SpatialRelation(df, conf, max_extent=(td.MAX_EXTENT,) * 2)
+    qs = spark.createDataFrame(
+        [(1, 0.5, 0.5), (2, 0.05, 0.95), (3, 0.99, 0.01)],
+        "qid long, qx double, qy double",
+    )
+    got = {}
+    for r in knn.knn_join(rel, qs, 10).collect():
+        got.setdefault(r.qid, set()).add((r.id, r.dist2))
+    p = rects_pdf
+    for qid, qx, qy in [(1, 0.5, 0.5), (2, 0.05, 0.95), (3, 0.99, 0.01)]:
+        dx = np.maximum.reduce([p.xmin - qx, qx - p.xmax, np.zeros(len(p))])
+        dy = np.maximum.reduce([p.ymin - qy, qy - p.ymax, np.zeros(len(p))])
+        d2 = np.asarray(dx * dx + dy * dy)
+        kth = np.sort(d2)[9]
+        want = set(zip(p.id[d2 <= kth], d2[d2 <= kth]))
+        assert got[qid] == want, qid
+
+
+def test_knn_join_fallback_min_k_n(spark):
+    """k > N: every query still gets all N rows (no-cap fallback)."""
+    from libspatialindex_spark.config import EngineConfig
+
+    rows = [(1, 0.1, 0.1, 0.2, 0.2), (2, 0.8, 0.8, 0.9, 0.9)]
+    df = spark.createDataFrame(
+        rows, "id long, xmin double, ymin double, xmax double, ymax double"
+    )
+    rel = SpatialRelation(df, EngineConfig(), max_extent=(0.1, 0.1))
+    qs = spark.createDataFrame(
+        [(7, 0.0, 0.0), (8, 1.0, 1.0)], "qid long, qx double, qy double"
+    )
+    got = {}
+    for r in knn.knn_join(rel, qs, 5).collect():
+        got.setdefault(r.qid, set()).add(r.id)
+    assert got == {7: {1, 2}, 8: {1, 2}}
