@@ -54,12 +54,13 @@ def index_statistics(idx: StoredIndex) -> dict:
     }
 
 
-def observed_intersects_query(rel, qxmin, qymin, qxmax, qymax):
-    """Range query with in-flight IO accounting (A4 completion).
+def observed_query(rel, qxmin, qymin, qxmax, qymax, predicate="intersects"):
+    """Range/containment/point query with in-flight IO accounting (A4
+    completion — the reference visitor's index-vs-leaf counters,
+    ``RTreeQuery.cc:68-115,344-349``).
 
     Returns ``(result_df, io)`` where ``io()`` — valid after the caller
-    runs an action on the result — yields the reference visitor's counters
-    re-expressed for the two-level layout:
+    runs an action on the result — yields:
 
     * ``buckets_total`` / ``buckets_scanned`` — manifest-level pruning
       (index-node reads avoided);
@@ -70,15 +71,28 @@ def observed_intersects_query(rel, qxmin, qymin, qxmax, qymax):
     scan_obs = Observation()
     out_obs = Observation()
     b = rel.box
+    lows = (F.col(b.xmin), F.col(b.ymin))
+    highs = (F.col(b.xmax), F.col(b.ymax))
+    if predicate == "intersects":
+        pred = G.intersects(
+            lows[0], lows[1], highs[0], highs[1], qxmin, qymin, qxmax, qymax
+        )
+    elif predicate == "contains":  # query ⊇ entry (containsWhat)
+        pred = G.contains(
+            qxmin, qymin, qxmax, qymax, lows[0], lows[1], highs[0], highs[1]
+        )
+    elif predicate == "point":  # entry contains the point (qxmin, qymin)
+        pred = G.contains_point(
+            lows[0], lows[1], highs[0], highs[1], qxmin, qymin
+        )
+    else:
+        raise ValueError(predicate)
     pruned = rel.pruned_for_box(qxmin, qymin, qxmax, qymax).observe(
         scan_obs, F.count(F.lit(1)).alias("rows_scanned")
     )
-    out = pruned.filter(
-        G.intersects(
-            F.col(b.xmin), F.col(b.ymin), F.col(b.xmax), F.col(b.ymax),
-            qxmin, qymin, qxmax, qymax,
-        )
-    ).observe(out_obs, F.count(F.lit(1)).alias("rows_returned"))
+    out = pruned.filter(pred).observe(
+        out_obs, F.count(F.lit(1)).alias("rows_returned")
+    )
 
     boxes = getattr(rel, "bucket_boxes", None) or []
     hit = [
@@ -98,6 +112,11 @@ def observed_intersects_query(rel, qxmin, qymin, qxmax, qymax):
     return out, io
 
 
+def observed_intersects_query(rel, qxmin, qymin, qxmax, qymax):
+    """Intersection-predicate shorthand for :func:`observed_query`."""
+    return observed_query(rel, qxmin, qymin, qxmax, qymax, "intersects")
+
+
 @dataclass
 class LatencyRecorder:
     """Per-query latency collection → the reference's percentile report,
@@ -115,7 +134,7 @@ class LatencyRecorder:
 
     def timed_observed(self, name: str, rel, window) -> dict:
         """Run an instrumented range query; record latency + IO split."""
-        df, io = observed_intersects_query(rel, *window)
+        df, io = observed_query(rel, *window)
         t0 = time.time()
         df.count()
         sec = time.time() - t0

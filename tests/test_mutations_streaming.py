@@ -117,3 +117,20 @@ def test_io_accounting_observed_query(built):
     # the emitted count matches the plain operator's answer
     n = range_query.intersects_query(rel, 0.25, 0.25, 0.30, 0.30).count()
     assert io["rows_returned"] == n
+
+
+def test_io_accounting_all_predicates(built):
+    """observed_query covers contains and point predicates too, agreeing
+    with the plain operators."""
+    idx, *_ = built
+    rel = idx.relation()
+    w = (0.25, 0.25, 0.40, 0.40)
+    for kind, plain in (
+        ("contains", range_query.contains_what_query(rel, *w)),
+        ("point", range_query.point_location_query(rel, w[0], w[1])),
+    ):
+        df, io = stats.observed_query(rel, *w, predicate=kind)
+        n = df.count()
+        got = io()
+        assert got["rows_returned"] == n == plain.count()
+        assert got["rows_scanned"] >= got["rows_returned"]

@@ -79,3 +79,25 @@ def test_resume_completes_partial_run(spark, setup, tmp_path):
     a = {(r.image_id, r.poly_id) for _, r in full_pdf[full_pdf.grp.isin(redo)].iterrows()}
     b = {(r.image_id, r.poly_id) for _, r in res_pdf[res_pdf.grp.isin(redo)].iterrows()}
     assert a == b and got <= want
+
+
+def test_run_to_storage_on_file_uri(spark, tmp_path):
+    """The checkpoint-resumable pipeline sink works on a scheme-qualified
+    path (Hadoop FS code path): write, then resume is a no-op re-read."""
+    from libspatialindex_spark import pipeline
+    from libspatialindex_spark.config import EngineConfig
+    from libspatialindex_spark.sources import images as imgsrc
+    from libspatialindex_spark.sources import testdata as td
+    from tests.conftest import SF_DIR
+
+    conf = EngineConfig()
+    imgs = imgsrc.generate_images(spark, 400, partitions=4)
+    polys = td.polys(spark, SF_DIR)
+    out = f"file://{tmp_path}/pipe_out"
+    res1 = pipeline.run_to_storage(imgs, polys, out, conf, group_bits=2)
+    n1 = res1.count()
+    assert n1 > 0
+    res2 = pipeline.run_to_storage(
+        imgs, polys, out, conf, group_bits=2, resume=True
+    )
+    assert res2.count() == n1  # all groups committed -> nothing re-runs
