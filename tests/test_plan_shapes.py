@@ -125,3 +125,22 @@ def test_lsh_near_dup_band_shuffle_carries_no_vectors(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(band[^\n]*", p):
         assert "_q" not in m.group(0) and "embedding" not in m.group(0)
+
+
+def test_stored_index_prune_reaches_scan(spark, tmp_path):
+    """On a stored index, the window prune must compile to a PARTITION
+    filter on bucket (directory pruning) plus pushed z-range filters
+    (row-group zone maps) — index-node pruning expressed in Catalyst."""
+    from libspatialindex_spark.operators import index_build
+
+    conf = EngineConfig(target_partitions=8)
+    df = td.rects(spark, SF_DIR)
+    idx = index_build.build_index(df, str(tmp_path / "pidx"), conf)
+    rel = idx.relation()
+    pruned = rel.pruned_for_box(0.25, 0.25, 0.30, 0.30)
+    p = _plan(pruned)
+    scan = p.split("FileScan", 1)[1]
+    part = scan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "bucket" in part  # directory-level pruning is in the plan
+    pushed = scan.split("PushedFilters:", 1)[1][:400]
+    assert "GreaterThanOrEqual(z" in pushed or "z" in pushed
