@@ -312,6 +312,17 @@ def q34_fingerprint(spark, sf_dir):
     return d.select("doc_id", text.fingerprint("text").alias("fp"))
 
 
+def q39_winnow_fingerprint(spark, sf_dir):
+    """Rolling-hash (bottom-k / winnowing) document sketch: 8 smallest
+    k-gram h60 hashes per doc, one row per (doc, rank) so the exact
+    compare sees scalars."""
+    d = _docs(spark, sf_dir)
+    fp = text.winnow_fingerprint("text", k=8, s=8)
+    return d.select("doc_id", F.posexplode(fp).alias("rank0", "h")).select(
+        "doc_id", (F.col("rank0") + 1).alias("rank"), "h"
+    )
+
+
 def q35_minhash_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), k=8, n_hashes=16, bands=4,
@@ -440,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_simhash_pairs": q36_simhash_pairs,
         "q37_dedup_groups": q37_dedup_groups,
         "q38_token_bpe": q38_token_bpe,
+        "q39_winnow_fingerprint": q39_winnow_fingerprint,
         "q40_ann_quantized": q40_ann_quantized,
         "q41_ann_cosine": q41_ann_cosine,
         "q42_ann_lsh": q42_ann_lsh,
@@ -1090,6 +1102,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q34_fingerprint": f"""
             SELECT doc_id, {_H60.format(s='text')} AS fp FROM documents
+        """,
+        "q39_winnow_fingerprint": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                list_distinct(CASE WHEN length(text) < 8 THEN [text]
+                  ELSE list_transform(generate_series(1, length(text) - 7),
+                                      i -> substring(text, i, 8)) END) AS grams
+              FROM documents
+            ),
+            fps AS (
+              SELECT doc_id,
+                list_sort(list_transform(grams, g -> {_H60.format(s='g')}))[1:8]
+                  AS fp
+              FROM sh
+            )
+            SELECT doc_id, CAST(gs.i AS BIGINT) AS rank, fp[gs.i] AS h
+            FROM fps, generate_series(1, 8) AS gs(i)
+            WHERE gs.i <= len(fp)
         """,
         "q35_minhash_pairs": _minhash_oracle(),
         "q36_simhash_pairs": _simhash_oracle(),

@@ -131,3 +131,17 @@ def lang_id(col) -> Column:
 def fingerprint(col) -> Column:
     """60-bit document fingerprint (portable md5-derived)."""
     return h60(col)
+
+
+def winnow_fingerprint(col, k: int = 8, s: int = 8) -> Column:
+    """Rolling-hash document fingerprint: the ``s`` smallest hashes over
+    the document's k-gram stream (bottom-k sketch / winnowing family —
+    robust to local edits, supports containment estimation by sketch
+    intersection).  The k-gram hash is the same portable ``h60`` the
+    minhash pipeline uses; pure Column expressions (sort + slice of the
+    distinct-gram hash array)."""
+    from libspatialindex_spark.operators.dedup import shingles
+
+    c = col if isinstance(col, Column) else F.col(col)
+    hv = F.transform(shingles(c, k), h60)
+    return F.slice(F.array_sort(hv), 1, s)

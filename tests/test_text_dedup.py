@@ -324,3 +324,19 @@ def test_token_count_bpe_matches_python(docs, docs_pdf):
             for t in pat.findall(row.text)
         )
         assert got[row.doc_id] == want
+
+
+def test_winnow_fingerprint_matches_python(docs, docs_pdf):
+    """Bottom-8 sketch of k-gram h60 hashes ≡ python reference; shared
+    grams between near-identical docs give overlapping sketches."""
+    got = {}
+    for r in docs.select(
+        "doc_id", text.winnow_fingerprint("text").alias("fp")
+    ).collect():
+        got[r.doc_id] = list(r.fp)
+    for _, row in docs_pdf.head(40).iterrows():
+        grams = _py_shingles(row.text)
+        hs = sorted(
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+        )[:8]
+        assert got[row.doc_id] == hs
