@@ -160,13 +160,21 @@ def minhash_lsh_pairs(
     grams = hashed.select("_id", "_sh")
     g1 = grams.select(F.col("_id").alias("id1"), F.col("_sh").alias("sh1"))
     g2 = grams.select(F.col("_id").alias("id2"), F.col("_sh").alias("sh2"))
-    return (
+    out = (
         cand.join(g1, on="id1")
         .join(g2, on="id2")
         .withColumn("jaccard", jaccard(F.col("sh1"), F.col("sh2")))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+    # Verified pairs are tiny (≤ true-dup count): materialize eagerly so the
+    # shingle/signature caches can be dropped instead of leaking into a
+    # long-lived session (the knn_query localCheckpoint+unpersist pattern).
+    try:
+        return out.localCheckpoint()
+    finally:
+        base.unpersist()
+        hashed.unpersist()
 
 
 def ngram_jaccard_pairs(
@@ -206,6 +214,12 @@ def connected_components(
     ``component_id`` = smallest doc id in the component — the canonical
     "keep" document.  Driver only checks a per-round convergence count;
     all data movement is joins/groupBys on the id key.
+
+    Raises ``RuntimeError`` when the propagation has NOT converged after
+    ``max_iter`` rounds (graph diameter > max_iter): an unconverged
+    labeling silently splits components, corrupting dedup groups — a loud
+    failure is the only safe exit (raise the bound for long chain-shaped
+    duplicate graphs).
     """
     edges = (
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
@@ -213,10 +227,15 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # localCheckpoint (not persist) per round: it truncates LINEAGE, so the
+    # logical plan stays one-join deep regardless of round count — with
+    # plain persist the nested join plans grow with the iteration number
+    # and long chains OOM the driver on plan stringification alone.
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
-    ).persist()
+    ).localCheckpoint()
     try:
+        changed = -1
         for _ in range(max_iter):
             nbr_min = (
                 edges.join(
@@ -234,7 +253,7 @@ def connected_components(
                         F.col("label"), F.coalesce("nbr_label", "label")
                     ).alias("label"),
                 )
-                .persist()
+                .localCheckpoint()
             )
             changed = (
                 new_labels.alias("n")
@@ -242,16 +261,18 @@ def connected_components(
                 .filter(F.col("n.label") != F.col("o.label"))
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break
-        # nodes-in-pairs only — small; checkpoint so every loop cache frees
-        out = labels.select(
+        if changed != 0:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                f"rounds ({changed} labels still changing — graph diameter "
+                f"exceeds max_iter); raise max_iter"
+            )
+        return labels.select(
             F.col("node").alias("doc_id"), F.col("label").alias("component_id")
-        ).localCheckpoint()
-        labels.unpersist()
-        return out
+        )
     finally:
         edges.unpersist()
 
@@ -380,7 +401,7 @@ def simhash_near_pairs(
     b = blocked.select(
         F.col("_id").alias("id2"), F.col("_sig").alias("s2"), "blk", "val"
     )
-    return (
+    out = (
         a.join(b, on=["blk", "val"])
         .filter(F.col("id1") < F.col("id2"))
         .dropDuplicates(["id1", "id2"])
@@ -388,3 +409,8 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+    # eager materialize + drop the signature cache (session cache hygiene)
+    try:
+        return out.localCheckpoint()
+    finally:
+        base.unpersist()

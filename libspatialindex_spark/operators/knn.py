@@ -115,7 +115,6 @@ def knn_join(
     qx_col: str = "qx",
     qy_col: str = "qy",
     dist_col: str = "dist2",
-    max_rounds: int = 8,
 ) -> DataFrame:
     """Batch kNN (kNN JOIN): for EVERY query point, all entries within the
     k-th smallest point↔MBR distance (ties kept) — the reference's actual
@@ -132,6 +131,12 @@ def knn_join(
     (√(k/N) · world — uniform-case one-pass; skewed queries just take
     another doubling).  Queries still pending past the world radius get
     the no-cap fallback (min(k, N) rows, like the single-point kNN).
+
+    The loop is unbounded but provably terminates: the radius doubles each
+    round, so after ceil(log2(world_r / r0)) rounds the ``r >= world_r``
+    terminal branch resolves every remaining query (min(k, N) semantics) —
+    no query can be silently dropped regardless of world size or how small
+    the density-seeded r0 is.
 
     Output: (qid, id, dist2), tie-inclusive per query.
     """
@@ -175,7 +180,7 @@ def knn_join(
         qids = ok.select("_qid").distinct()
         return rows, qids
 
-    for _ in range(max_rounds):
+    while True:
         if pending.limit(1).count() == 0:
             break
         if r >= world_r:

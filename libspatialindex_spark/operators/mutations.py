@@ -18,10 +18,12 @@ single-writer per tree):
   the manifest — committed epochs are skipped — and otherwise sweeps any
   ``<build_id>-*`` debris before re-running, so the insert is idempotent.
 * **delete** rewrites each touched bucket via rename-aside
-  (``bucket=N`` → ``bucket=N.old`` → staged in → drop ``.old``): every
-  crash point leaves either the old or the new data present, and
-  :func:`recover` rolls an interrupted swap forward/back.  The manifest is
-  replaced by the same aside/rename dance, never ``rmtree``-then-write.
+  (``bucket=N`` → ``bucket=N.old`` → staged in), commits the manifest,
+  and only then drops the ``.old`` copies: every crash point — including
+  an all-deleted bucket before the manifest commit — leaves either the old
+  or the new data present, and :func:`recover` rolls an interrupted swap
+  forward/back.  The manifest is replaced by the same aside/rename dance,
+  never ``rmtree``-then-write.
 
 All driver-side file ops go through ``plans/fs`` so the index can live on
 any Hadoop filesystem, not just local disk.
@@ -123,23 +125,26 @@ def insert_batch(
 
 
 def recover(idx: StoredIndex) -> None:
-    """Roll interrupted bucket/manifest swaps forward or back.
+    """Roll interrupted bucket/manifest swaps forward or back —
+    CONSISTENTLY with the manifest (the commit record).
 
-    * ``bucket=N.old`` next to a live ``bucket=N`` → the swap completed,
-      drop the aside copy; without a live dir → the swap died mid-way,
-      restore the aside copy.
-    * ``manifest.old`` / ``manifest.new`` analogously.
+    1. Settle the manifest swap first (``manifest.old`` restored when no
+       live manifest exists, dropped otherwise; ``manifest.new`` debris
+       removed) — after this the manifest is either pre- or post-commit,
+       never mid-swap.
+    2. For every ``bucket=N.old`` aside: roll FORWARD (drop the aside) iff
+       the settled manifest's row count for N matches the live dir (the
+       mutation committed — the aside is post-commit debris); otherwise
+       roll BACK (restore the aside over whatever partial rewrite the
+       crash left).  A pre-commit crash therefore restores the exact
+       pre-mutation state everywhere — including buckets whose rewrite had
+       finished and all-deleted buckets with no live dir — and the
+       interrupted mutation can simply be re-run.
+
+    The row-count probe reads only the touched buckets' parquet footers —
+    recovery-path-only cost.
     """
     fs = idx.fs
-    for name in fs.listdir(idx.data_path):
-        if not (name.startswith("bucket=") and name.endswith(".old")):
-            continue
-        aside = FS.join(idx.data_path, name)
-        live = FS.join(idx.data_path, name[: -len(".old")])
-        if fs.isdir(live):
-            fs.delete(aside)
-        else:
-            fs.rename(aside, live)
     mpath = M.manifest_path(idx.path)
     if fs.isdir(mpath + ".old"):
         if fs.isdir(mpath):
@@ -147,6 +152,35 @@ def recover(idx: StoredIndex) -> None:
         else:
             fs.rename(mpath + ".old", mpath)
     fs.delete(mpath + ".new")
+
+    asides = [
+        name
+        for name in fs.listdir(idx.data_path)
+        if name.startswith("bucket=") and name.endswith(".old")
+    ]
+    if not asides:
+        return
+    m = M.read_manifest(idx.spark, idx.path)
+    counts: dict[int, int] = {}
+    if m is not None:
+        counts = {
+            r["bucket"]: int(r["n"])
+            for r in m.groupBy("bucket").agg(F.sum("n_rows").alias("n")).collect()
+        }
+    for name in asides:
+        aside = FS.join(idx.data_path, name)
+        live = FS.join(idx.data_path, name[: -len(".old")])
+        b = int(name[len("bucket="): -len(".old")])
+        want = counts.get(b, 0)
+        has_live = fs.isdir(live) and any(
+            f.endswith(".parquet") for f in fs.listdir(live)
+        )
+        live_rows = idx.spark.read.parquet(live).count() if has_live else 0
+        if m is not None and live_rows == want:
+            fs.delete(aside)  # forward: manifest already describes live
+        else:
+            fs.delete(live)  # back: restore the pre-mutation copy
+            fs.rename(aside, live)
 
 
 def _replace_manifest(idx: StoredIndex, fresh: DataFrame) -> None:
@@ -200,12 +234,16 @@ def delete_rows(
     )
     survivors.write.partitionBy("bucket").mode("overwrite").parquet(staged)
 
-    # Swap per bucket: aside → move in → drop aside.  Every crash point
-    # leaves old or new data present (recover() finishes the job).
+    # Swap per bucket: aside → move in.  The ``.old`` aside copies are NOT
+    # deleted here — they survive until after the manifest commit below, so
+    # every crash point leaves old or new data present for EVERY bucket
+    # (including the all-deleted case, whose bucket has no new dir): before
+    # the manifest commit, recover() can restore the aside consistently
+    # with the still-old manifest; after it, recover() just drops asides.
     for b in touched:
         live = FS.join(idx.data_path, f"bucket={b}")
         old = FS.join(idx.data_path, f"bucket={b}.old")
-        fs.delete(old)
+        fs.delete(old)  # stale aside from pre-recover() eras only
         src = FS.join(staged, f"bucket={b}")
         has_new = fs.isdir(src) and any(
             f.endswith(".parquet") for f in fs.listdir(src)
@@ -214,7 +252,6 @@ def delete_rows(
             fs.rename(live, old)
         if has_new:
             fs.rename(src, live)
-        fs.delete(old)
     fs.delete(staged)
 
     # Manifest: drop touched buckets' rows, re-append fresh aggregates —
@@ -246,4 +283,8 @@ def delete_rows(
         keep_rows + fresh_rows, schema=M.MANIFEST_SCHEMA
     )
     _replace_manifest(idx, fresh)
+    # Only now — past the commit point — drop the aside copies.  A crash in
+    # this window leaves harmless ``.old`` debris that recover() sweeps.
+    for b in touched:
+        fs.delete(FS.join(idx.data_path, f"bucket={b}.old"))
     return idx

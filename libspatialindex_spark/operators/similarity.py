@@ -211,11 +211,16 @@ def quantized_cosine_pairs(
     cos = dot.cast("double") / F.sqrt(
         F.col("na").cast("double") * F.col("nb").cast("double")
     )
-    return (
+    out = (
         pairs.withColumn("cos_q", cos)
         .filter(F.col("cos_q") >= F.lit(threshold))
         .select("id1", "id2", "cos_q")
     )
+    # eager materialize + drop the quantized-vector cache (session hygiene)
+    try:
+        return out.localCheckpoint()
+    finally:
+        base.unpersist()
 
 
 # ------------------------------------------------------------- banded LSH --
@@ -340,13 +345,18 @@ def lsh_near_dup_pairs(
     cos = dot.cast("double") / F.sqrt(
         F.col("na").cast("double") * F.col("nb").cast("double")
     )
-    return (
+    out = (
         cand.join(qa, on="id1")
         .join(qb, on="id2")
         .withColumn("cos_q", cos)
         .filter(F.col("cos_q") >= F.lit(threshold))
         .select("id1", "id2", "cos_q")
     )
+    # eager materialize + drop the signature/vector cache (session hygiene)
+    try:
+        return out.localCheckpoint()
+    finally:
+        base.unpersist()
 
 
 def ivf_centroids_from_data(

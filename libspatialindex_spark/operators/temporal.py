@@ -23,7 +23,7 @@ Both are pure Column expressions — codegen end to end, no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from libspatialindex_spark.functions import geometry as G
@@ -47,15 +47,37 @@ def versions_from_ops(
     (mbr, id); ``test/mvrtree/Generator.cc:79-81`` emits exactly such a
     timeline).  An entry never deleted stays open (tend = +inf).
 
-    One equi-join on (id, mbr) — shuffles once on the id+box key; at scale
-    the op log is partitioned by id so the join co-locates."""
-    ins = ops.filter(F.col(op_col) == 1)
-    dels = ops.filter(F.col(op_col) == 0).select(
-        F.col(id_col).alias("_did"),
-        *[F.col(c).alias(f"_d_{c}") for c in box_cols],
-        F.col(t_col).alias("_dt"),
+    Pairing is **rank-matched**: within each (id, mbr) group the k-th
+    INSERT (by time) closes with the k-th DELETE (by time) — FIFO, the
+    order the reference would apply the ops.  A naive (id, mbr) equi-join
+    would cross-match when an id is deleted and later RE-inserted with an
+    identical box (inverted [t_ins2, t_del1) intervals, lost open
+    intervals); rank matching also resolves the delete+insert-at-the-same-
+    timestamp tie correctly (the delete closes the OLD version, not the one
+    being born).  Assumes a well-formed stream (every delete targets a
+    currently-live entry), which ``deleteData`` guarantees — it errors on a
+    miss.
+
+    One window per op kind (rank within (id, mbr)) + one equi-join on
+    (id, mbr, rank); at scale the op log is partitioned by id so both the
+    window shuffle and the join co-locate."""
+    w_ins = Window.partitionBy(id_col, *box_cols).orderBy(t_col)
+    ins = ops.filter(F.col(op_col) == 1).withColumn(
+        "_rk", F.row_number().over(w_ins)
     )
-    cond = (F.col(id_col) == F.col("_did"))
+    w_del = Window.partitionBy("_did", *[f"_d_{c}" for c in box_cols]).orderBy(
+        "_dt"
+    )
+    dels = (
+        ops.filter(F.col(op_col) == 0)
+        .select(
+            F.col(id_col).alias("_did"),
+            *[F.col(c).alias(f"_d_{c}") for c in box_cols],
+            F.col(t_col).alias("_dt"),
+        )
+        .withColumn("_rk2", F.row_number().over(w_del))
+    )
+    cond = (F.col(id_col) == F.col("_did")) & (F.col("_rk") == F.col("_rk2"))
     for c in box_cols:
         cond = cond & (F.col(c) == F.col(f"_d_{c}"))
     return (

@@ -130,17 +130,29 @@ SELECT 0 AS op, id, t0 + lifespan AS t,
 
 # The fold of the op stream into validity intervals: a DELETE matches the
 # exact (mbr, id) it inserts — precisely ``deleteData``'s contract
-# (``RTree.cc:599-608`` findLeaf by exact (mbr, id)).  Shared by the DuckDB
-# oracle; the engine-side fold is ``temporal.versions_from_ops``.
+# (``RTree.cc:599-608`` findLeaf by exact (mbr, id)).  Pairing is
+# RANK-matched within each (id, mbr) group (k-th insert ↔ k-th delete by
+# time, FIFO) so an id re-inserted with an *identical* box never
+# cross-matches a later insert with an earlier delete; never-deleted
+# entries stay open (tend = 1e18, the engine's +inf sentinel).  Shared by
+# the DuckDB oracle; the engine-side fold is ``temporal.versions_from_ops``.
 MVR_VERSIONS_SQL = f"""
 WITH ops AS ({MVR_OPS_SQL.strip()}),
-ins AS (SELECT * FROM ops WHERE op = 1),
-del AS (SELECT * FROM ops WHERE op = 0)
+ins AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY id, xmin, ymin, xmax, ymax ORDER BY t) AS rk
+  FROM ops WHERE op = 1
+),
+del AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY id, xmin, ymin, xmax, ymax ORDER BY t) AS rk
+  FROM ops WHERE op = 0
+)
 SELECT ins.id, ins.xmin, ins.ymin, ins.xmax, ins.ymax,
-       ins.t AS tstart, del.t AS tend
-FROM ins JOIN del
+       ins.t AS tstart, COALESCE(del.t, 1e18) AS tend
+FROM ins LEFT JOIN del
   ON ins.id = del.id AND ins.xmin = del.xmin AND ins.ymin = del.ymin
- AND ins.xmax = del.xmax AND ins.ymax = del.ymax
+ AND ins.xmax = del.xmax AND ins.ymax = del.ymax AND ins.rk = del.rk
 """
 
 # Moving points (TPR analog, SURVEY.md Q10): position + velocity per axis,

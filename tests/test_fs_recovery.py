@@ -181,3 +181,47 @@ def test_delete_every_row_leaves_valid_empty_index(spark, conf, tmp_path):
     m = idx.manifest()
     assert m.count() == 0  # empty but readable, schema intact
     assert set(m.columns) >= {"bucket", "zmin", "n_rows", "build_id"}
+
+
+def test_delete_crash_before_manifest_commit_recovers(
+    spark, conf, tmp_path, monkeypatch
+):
+    """ADVICE r2 mutations.py:217 — an all-deleted bucket's data must
+    survive a crash BEFORE the manifest commit: the aside copy is only
+    dropped after _replace_manifest succeeds, so recover() restores it
+    consistently with the (still-old) manifest."""
+    df = td.rects(spark, SF_DIR).limit(2000)
+    idx = index_build.build_index(df, str(tmp_path / "idx"), conf)
+    n_total = idx.manifest_totals().agg(F.sum("n_rows")).collect()[0][0]
+
+    # victims = EVERY row of one bucket → that bucket is all-deleted
+    data = spark.read.parquet(idx.data_path)
+    b0 = data.select("bucket").limit(1).collect()[0][0]
+    victims = data.filter(F.col("bucket") == b0).select("id").distinct()
+    assert victims.count() > 0
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(mutations, "_replace_manifest", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        mutations.delete_rows(idx, victims)
+    monkeypatch.undo()
+
+    # crash window: live bucket dirs may hold new data, asides hold old —
+    # nothing was permanently destroyed; recover() rolls to a consistent
+    # state and the old manifest still describes restorable data.
+    mutations.recover(idx)
+    fs = idx.fs
+    assert not any(
+        n.endswith(".old") for n in fs.listdir(idx.data_path)
+    )
+    # the all-deleted bucket's data is back (rolled back, manifest old)
+    restored = spark.read.parquet(idx.data_path)
+    assert restored.filter(F.col("bucket") == b0).count() > 0
+    # re-running the SAME delete to completion converges to the intended
+    # final state with a consistent manifest
+    mutations.delete_rows(idx, victims)
+    assert idx.validate()
+    left = idx.manifest_totals().agg(F.sum("n_rows")).collect()[0][0] or 0
+    assert left < n_total

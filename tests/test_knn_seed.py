@@ -100,3 +100,32 @@ def test_knn_join_fallback_min_k_n(spark):
     for r in knn.knn_join(rel, qs, 5).collect():
         got.setdefault(r.qid, set()).add(r.id)
     assert got == {7: {1, 2}, 8: {1, 2}}
+
+
+def test_knn_join_non_unit_world_terminates_complete(spark):
+    """ADVICE r2: on a non-unit world (1000 wide) the absolute r0 =
+    knn_ring_init needs ~16+ doublings to reach world_r — the loop must
+    keep going until every query resolves (no silent drops)."""
+    from libspatialindex_spark.config import EngineConfig
+
+    rows = [
+        (i, 100.0 * i, 100.0 * i, 100.0 * i + 1.0, 100.0 * i + 1.0)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, xmin double, ymin double, xmax double, ymax double"
+    )
+    rel = SpatialRelation(
+        df, EngineConfig(world=(0.0, 0.0, 1000.0, 1000.0)),
+        max_extent=(1.0, 1.0),
+    )
+    qs = spark.createDataFrame(
+        [(7, 0.0, 0.0), (8, 950.0, 950.0)], "qid long, qx double, qy double"
+    )
+    got = {}
+    for r in knn.knn_join(rel, qs, 3).collect():
+        got.setdefault(r.qid, set()).add(r.id)
+    # every query resolved with exactly its true 3NN
+    assert set(got) == {7, 8}
+    assert got[7] == {0, 1, 2}
+    assert got[8] == {9, 8, 7}

@@ -229,3 +229,37 @@ def test_tpr_horizon_guard(spark):
         temporal.moving_range_query(df, *W, 0.0, 600.0, horizon=512.0)
     # inside the horizon: fine
     temporal.moving_range_query(df, *W, 0.0, 100.0, horizon=512.0).collect()
+
+
+def test_versions_from_ops_identical_box_reinsert(spark):
+    """ADVICE r2: an id deleted and RE-inserted with an IDENTICAL box must
+    fold into two clean versions via rank matching — the naive (id, mbr)
+    join would cross-match (inverted [20, 20) / [10, 50) intervals).  Also
+    covers the delete+insert-at-the-same-timestamp tie: the delete closes
+    the OLD version."""
+    rows = [
+        (1, 7, 0.1, 0.1, 0.2, 0.2, 10.0),   # insert v1
+        (0, 7, 0.1, 0.1, 0.2, 0.2, 20.0),   # delete v1
+        (1, 7, 0.1, 0.1, 0.2, 0.2, 20.0),   # re-insert SAME box at t=20
+        (0, 7, 0.1, 0.1, 0.2, 0.2, 50.0),   # delete v2
+    ]
+    ops = spark.createDataFrame(
+        rows, "op int, id long, xmin double, ymin double, "
+              "xmax double, ymax double, t double"
+    )
+    got = sorted(
+        (r.tstart, r.tend) for r in temporal.versions_from_ops(ops).collect()
+    )
+    assert got == [(10.0, 20.0), (20.0, 50.0)]
+
+
+def test_versions_sql_matches_engine_fold(spark):
+    """MVR_VERSIONS_SQL (the shared oracle fold) and versions_from_ops must
+    stay semantically identical — both rank-matched."""
+    td.register_views(spark, SF_DIR)
+    eng = temporal.versions_from_ops(spark.sql(td.MVR_OPS_SQL)).select(
+        "id", "xmin", "tstart", "tend"
+    )
+    sql = spark.sql(td.MVR_VERSIONS_SQL).select("id", "xmin", "tstart", "tend")
+    assert eng.exceptAll(sql).count() == 0
+    assert sql.exceptAll(eng).count() == 0

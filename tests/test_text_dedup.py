@@ -340,3 +340,20 @@ def test_winnow_fingerprint_matches_python(docs, docs_pdf):
             int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
         )[:8]
         assert got[row.doc_id] == hs
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """ADVICE r2: a chain whose diameter exceeds max_iter must fail LOUDLY
+    — silently returning split components corrupts dedup groups."""
+    import pytest as _pytest
+
+    chain = [(i, i + 1) for i in range(1, 10)]  # diameter 9
+    pairs = spark.createDataFrame(chain, ["id1", "id2"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=2)
+    # and a sufficient bound still converges to one component
+    got = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components(pairs, max_iter=12).collect()
+    }
+    assert set(got.values()) == {1}
