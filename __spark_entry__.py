@@ -225,6 +225,97 @@ def q18_moving_region_range(spark, sf_dir):
     return temporal.moving_region_range_query(mr, *W, *MQ).select("id")
 
 
+# Per-process memo of the stored temporal layouts (build-once/query-many;
+# MVRTree/TPRTree are persisted structures, MVRTree.cc:1295-1304).
+_TEMPORAL_IDX: dict[tuple[str, str], object] = {}
+
+
+def _temporal_path(sf_dir: str, kind: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    src = f"{sf_dir}/lineitem.parquet"
+    tag = hashlib.md5(
+        f"{sf_dir}|{kind}|{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_t_{tag}")
+
+
+def _version_index(spark, sf_dir):
+    from libspatialindex_spark.operators import temporal_index as ti
+
+    key = (sf_dir, "versions")
+    if key in _TEMPORAL_IDX:
+        return _TEMPORAL_IDX[key]
+    path = _temporal_path(sf_dir, "versions")
+    try:
+        idx = ti.load_version_index(spark, path)
+    except FileNotFoundError:
+        td.register_views(spark, sf_dir)
+        vers = temporal.versions_from_ops(spark.sql(td.MVR_OPS_SQL))
+        idx = ti.build_version_index(vers, path, n_tbuckets=16)
+    _TEMPORAL_IDX[key] = idx
+    return idx
+
+
+def _moving_index(spark, sf_dir, regions: bool):
+    from libspatialindex_spark.operators import temporal_index as ti
+
+    kind = "regions" if regions else "points"
+    key = (sf_dir, kind)
+    if key in _TEMPORAL_IDX:
+        return _TEMPORAL_IDX[key]
+    path = _temporal_path(sf_dir, kind)
+    try:
+        idx = ti.load_moving_index(spark, path)
+    except FileNotFoundError:
+        td.register_views(spark, sf_dir)
+        if regions:
+            mr = spark.sql(td.MOVING_REGIONS_SQL)
+            idx = ti.build_moving_index(
+                mr, path, bits=3, lo=("xmin", "ymin"), hi=("xmax", "ymax"),
+                vlo=("vxlo", "vylo"), vhi=("vxhi", "vyhi"),
+            )
+        else:
+            mov = spark.sql(td.MOVING_SQL)
+            idx = ti.build_moving_index(mov, path, bits=3)
+    _TEMPORAL_IDX[key] = idx
+    return idx
+
+
+def q46_time_range_stored(spark, sf_dir):
+    """Q9 through the STORED time-bucketed layout: driver-side live-root
+    selection (bucket time envelopes + MBRs) → partition filter → exact
+    predicates.  Same result set as q09 — same oracle."""
+    from libspatialindex_spark.operators import temporal_index as ti
+
+    idx = _version_index(spark, sf_dir)
+    out, _io = ti.time_range_query_stored(idx, *W, *TQ)
+    return out.select("id")
+
+
+def q47_moving_range_stored(spark, sf_dir):
+    """Q10 through the STORED velocity-enveloped layout (TPR node visit):
+    bucket box + velocity envelopes prune, exact t-interval predicate on
+    the survivors.  Same result set as q10 — same oracle."""
+    from libspatialindex_spark.operators import temporal_index as ti
+
+    idx = _moving_index(spark, sf_dir, regions=False)
+    out, _io = ti.moving_range_query_stored(idx, *W, *MQ)
+    return out.select("id")
+
+
+def q48_moving_region_stored(spark, sf_dir):
+    """Q18 (MovingRegion algebra) through the stored moving layout with
+    per-edge velocity envelopes.  Same result set as q18 — same oracle."""
+    from libspatialindex_spark.operators import temporal_index as ti
+
+    idx = _moving_index(spark, sf_dir, regions=True)
+    out, _io = ti.moving_range_query_stored(idx, *W, *MQ)
+    return out.select("id")
+
+
 def q19_knn_join(spark, sf_dir):
     """Batch kNN (kNN join) — the reference's test1 workload (N queries ×
     10NN) as one job: iterative radius doubling over unresolved queries,
@@ -477,6 +568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q09_time_range": q09_time_range,
         "q10_moving_range": q10_moving_range,
         "q18_moving_region_range": q18_moving_region_range,
+        "q46_time_range_stored": q46_time_range_stored,
+        "q47_moving_range_stored": q47_moving_range_stored,
+        "q48_moving_region_stored": q48_moving_region_stored,
         "q19_knn_join": q19_knn_join,
         "q20_pip_join": q20_pip_join,
         "q21_tile_assign": q21_tile_assign,
@@ -889,6 +983,13 @@ _INTERSECTS_W = (
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # q47 runs the identical query over the stored moving layout
+    d["q47_moving_range_stored"] = d["q10_moving_range"]
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "q01_range_intersects": f"""
             WITH rects AS ({_R})
@@ -1057,6 +1158,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE GREATEST(tx_lo, ty_lo, {MQ[0]}) <= LEAST(tx_hi, ty_hi, {MQ[1]})
         """,
         "q18_moving_region_range": _moving_region_oracle(),
+        # stored-layout variants: identical semantics → identical oracles
+        "q46_time_range_stored": f"""
+            WITH v AS ({td.MVR_VERSIONS_SQL.strip()})
+            SELECT DISTINCT id FROM v
+            WHERE tstart < {TQ[1]} AND tend > {TQ[0]}
+              AND {_INTERSECTS_W}
+        """,
+        "q48_moving_region_stored": _moving_region_oracle(),
         "q19_knn_join": f"""
             WITH rects AS ({_R}), w AS ({td.WINDOWS_SQL.strip()}),
             q AS (SELECT qid, qxmin AS qx, qymin AS qy FROM w),

@@ -1,0 +1,105 @@
+"""Stored temporal layouts: stored-path ≡ full-scan parity, lossless
+pruning, and IO accounting showing rows_scanned ≪ total on time-selective
+queries (VERDICT r2 #3 'done' criteria)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from libspatialindex_spark.operators import temporal, temporal_index as ti
+from libspatialindex_spark.operators.relation import SpatialRelation
+from libspatialindex_spark.sources import testdata as td
+from tests.conftest import SF_DIR
+
+W = (0.25, 0.25, 0.30, 0.30)
+TQ = (200.0, 260.0)
+MQ = (0.0, 512.0)
+
+
+@pytest.fixture(scope="module")
+def versions(spark):
+    td.register_views(spark, SF_DIR)
+    return temporal.versions_from_ops(spark.sql(td.MVR_OPS_SQL))
+
+
+@pytest.fixture(scope="module")
+def vidx(spark, versions, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tix") / "vers")
+    return ti.build_version_index(versions, path, n_tbuckets=16)
+
+
+def test_version_index_matches_full_scan(spark, conf, versions, vidx):
+    rel = SpatialRelation(versions, conf, max_extent=(td.MAX_EXTENT,) * 2)
+    want = {r.id for r in temporal.time_range_query(rel, *W, *TQ).collect()}
+    out, io = ti.time_range_query_stored(vidx, *W, *TQ)
+    got = {r.id for r in out.collect()}
+    assert got == want
+    # the prune must be real: a 60-wide query interval over a 0..1065 span
+    # touches a small fraction of the 16 tstart buckets
+    assert io["buckets_scanned"] < io["buckets_total"]
+    assert io["rows_scanned_bound"] < io["rows_total"] / 2
+
+
+def test_version_index_partition_filter(vidx):
+    hit = vidx.hit_buckets(*W, *TQ)
+    plan = (
+        vidx.df().filter(F.col("tb").isin(hit))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    part = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "tb" in part  # whole bucket directories stay unread
+
+
+def test_version_index_load_roundtrip(spark, vidx):
+    loaded = ti.load_version_index(spark, vidx.path)
+    assert loaded.buckets == vidx.buckets
+
+
+def test_version_index_empty_interval(vidx):
+    out, io = ti.time_range_query_stored(vidx, *W, 5000.0, 6000.0)
+    assert io["buckets_scanned"] == 0
+    assert out.count() == 0
+
+
+@pytest.fixture(scope="module")
+def moving(spark):
+    td.register_views(spark, SF_DIR)
+    return spark.sql(td.MOVING_SQL)
+
+
+@pytest.fixture(scope="module")
+def midx(spark, moving, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tix") / "mov")
+    return ti.build_moving_index(moving, path, bits=3)
+
+
+def test_moving_index_matches_full_scan(spark, moving, midx):
+    want = {r.id for r in temporal.moving_range_query(moving, *W, *MQ).collect()}
+    out, io = ti.moving_range_query_stored(midx, *W, *MQ)
+    got = {r.id for r in out.collect()}
+    assert got == want
+    # max displacement ≈ 512 · 32/2^20 ≈ 0.016, window 0.05 wide → the
+    # velocity-enveloped prune keeps ~1-4 of 64 position buckets
+    assert io["buckets_scanned"] < io["buckets_total"] / 4
+    assert io["rows_scanned_bound"] < io["rows_total"] / 4
+
+
+def test_moving_region_index_matches_full_scan(spark, tmp_path_factory):
+    td.register_views(spark, SF_DIR)
+    mr = spark.sql(td.MOVING_REGIONS_SQL)
+    path = str(tmp_path_factory.mktemp("tix") / "mreg")
+    idx = ti.build_moving_index(
+        mr, path, bits=3, lo=("xmin", "ymin"), hi=("xmax", "ymax"),
+        vlo=("vxlo", "vylo"), vhi=("vxhi", "vyhi"),
+    )
+    want = {
+        r.id for r in temporal.moving_region_range_query(mr, *W, *MQ).collect()
+    }
+    out, io = ti.moving_range_query_stored(idx, *W, *MQ)
+    got = {r.id for r in out.collect()}
+    assert got == want
+    assert io["rows_scanned_bound"] < io["rows_total"]
+
+
+def test_moving_index_horizon_guard(midx):
+    with pytest.raises(ValueError, match="horizon"):
+        ti.moving_range_query_stored(midx, *W, 0.0, 600.0, horizon=512.0)
