@@ -136,6 +136,11 @@ class Index:
     def is_valid(self) -> bool:
         return self.stored.validate()
 
+    def recover(self) -> "Index":
+        """Finish an interrupted insert/delete swap (crash recovery)."""
+        mutations.recover(self.stored)
+        return self
+
 
 @dataclass
 class IndexND:
@@ -196,6 +201,23 @@ class IndexND:
         return tuple(r[f"lo{i}"] for i in range(d)) + tuple(
             r[f"hi{i}"] for i in range(d)
         )
+
+    # -- mutations (the generic staged protocol in operators/mutations) ------
+
+    def insert(self, rows: DataFrame, build_id: str = "insert",
+               idempotent: bool = False) -> "IndexND":
+        mutations.insert_batch(
+            self.stored, rows, build_id=build_id, idempotent=idempotent
+        )
+        return self
+
+    def delete(self, victims: DataFrame, id_col: str = "id") -> "IndexND":
+        mutations.delete_rows(self.stored, victims, id_col=id_col)
+        return self
+
+    def recover(self) -> "IndexND":
+        mutations.recover(self.stored)
+        return self
 
     def is_valid(self) -> bool:
         return self.stored.validate()

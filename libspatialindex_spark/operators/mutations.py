@@ -36,7 +36,6 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from libspatialindex_spark.operators.index_build import StoredIndex
 from libspatialindex_spark.operators.relation import BoxCols
 from libspatialindex_spark.plans import fs as FS
 from libspatialindex_spark.plans import manifest as M
@@ -46,8 +45,68 @@ def _safe(build_id: str) -> str:
     return re.sub(r"[^A-Za-z0-9_.-]", "_", build_id)
 
 
-def committed_build_ids(idx: StoredIndex) -> set[str]:
-    m = M.read_manifest(idx.spark, idx.path)
+# --- index-kind dispatch: the same mutation protocol serves the 2-D
+# StoredIndex and the dimension-generic NDStoredIndex (the reference's
+# insert/delete API is dimension-generic, RTree.cc:306-308); only the
+# manifest aggregation/schema and the box column names differ.
+
+
+def _is_nd(idx) -> bool:
+    return not hasattr(idx, "spec")
+
+
+def _mpath(idx) -> str:
+    if _is_nd(idx):
+        return idx.manifest_path
+    return M.manifest_path(idx.path)
+
+
+def _read_manifest_df(idx):
+    p = _mpath(idx)
+    fs = idx.fs
+    if not fs.isdir(p) or not any(f.endswith(".parquet") for f in fs.listdir(p)):
+        return None
+    return idx.spark.read.parquet(p)
+
+
+def _manifest_for_idx(idx, df: DataFrame, bytes_col, build_id: str):
+    if _is_nd(idx):
+        from libspatialindex_spark.operators import nd
+
+        return nd._nd_manifest_for(df, idx.box, build_id)
+    return M.manifest_for(df, bytes_col=bytes_col, build_id=build_id)
+
+
+def _manifest_cols(idx) -> list[str]:
+    if _is_nd(idx):
+        from libspatialindex_spark.operators import nd
+
+        return nd.ND_MANIFEST_COLS
+    return M.MANIFEST_COLS
+
+
+def _manifest_schema(idx) -> str:
+    if _is_nd(idx):
+        from libspatialindex_spark.operators import nd
+
+        return nd.ND_MANIFEST_SCHEMA
+    return M.MANIFEST_SCHEMA
+
+
+def _default_box(idx):
+    if _is_nd(idx):
+        return idx.box
+    return BoxCols()
+
+
+def _box_col_names(box) -> set[str]:
+    if hasattr(box, "dims"):  # NDBox
+        return {c for pair in box.dims for c in pair}
+    return {box.xmin, box.ymin, box.xmax, box.ymax}
+
+
+def committed_build_ids(idx) -> set[str]:
+    m = _read_manifest_df(idx)
     if m is None:
         return set()
     return {r["build_id"] for r in m.select("build_id").distinct().collect()}
@@ -65,14 +124,15 @@ def _sweep_build(fs, data_path: str, tag: str) -> None:
 
 
 def insert_batch(
-    idx: StoredIndex,
+    idx,
     rows: DataFrame,
-    box: BoxCols | None = None,
+    box=None,
     bytes_col: str | None = None,
     build_id: str = "insert",
     idempotent: bool = False,
-) -> StoredIndex:
+):
     """M1 — append a batch of entries; only touched buckets change.
+    Works on 2-D and N-d stored indexes alike (dispatch above).
 
     With ``idempotent=True`` a ``build_id`` already present in the manifest
     is a no-op (exactly-once under streaming epoch replay)."""
@@ -97,8 +157,8 @@ def insert_batch(
         .parquet(staging)
     )
     staged = spark.read.option("basePath", staging).parquet(staging)
-    mdf = M.manifest_for(staged, bytes_col=bytes_col, build_id=build_id)
-    mrows = mdf.select(*M.MANIFEST_COLS).collect()  # one row per bucket
+    mdf = _manifest_for_idx(idx, staged, bytes_col, build_id)
+    mrows = mdf.select(*_manifest_cols(idx)).collect()  # one row per bucket
 
     # Move staged files into live bucket dirs under build_id-prefixed names
     # (sweepable on replay).  Readers may observe rows before the manifest
@@ -118,13 +178,13 @@ def insert_batch(
     fs.delete(staging)
 
     # Commit point: manifest append (explicit schema — never inferred).
-    spark.createDataFrame(mrows, schema=M.MANIFEST_SCHEMA).coalesce(1).write.mode(
-        "append"
-    ).parquet(M.manifest_path(idx.path))
+    spark.createDataFrame(
+        mrows, schema=_manifest_schema(idx)
+    ).coalesce(1).write.mode("append").parquet(_mpath(idx))
     return idx
 
 
-def recover(idx: StoredIndex) -> None:
+def recover(idx) -> None:
     """Roll interrupted bucket/manifest swaps forward or back —
     CONSISTENTLY with the manifest (the commit record).
 
@@ -145,7 +205,7 @@ def recover(idx: StoredIndex) -> None:
     recovery-path-only cost.
     """
     fs = idx.fs
-    mpath = M.manifest_path(idx.path)
+    mpath = _mpath(idx)
     if fs.isdir(mpath + ".old"):
         if fs.isdir(mpath):
             fs.delete(mpath + ".old")
@@ -160,7 +220,7 @@ def recover(idx: StoredIndex) -> None:
     ]
     if not asides:
         return
-    m = M.read_manifest(idx.spark, idx.path)
+    m = _read_manifest_df(idx)
     counts: dict[int, int] = {}
     if m is not None:
         counts = {
@@ -183,10 +243,10 @@ def recover(idx: StoredIndex) -> None:
             fs.rename(aside, live)
 
 
-def _replace_manifest(idx: StoredIndex, fresh: DataFrame) -> None:
+def _replace_manifest(idx, fresh: DataFrame) -> None:
     """Atomically replace the manifest (write new → aside → swap → drop)."""
     fs = idx.fs
-    mpath = M.manifest_path(idx.path)
+    mpath = _mpath(idx)
     fresh.coalesce(1).write.mode("overwrite").parquet(mpath + ".new")
     if fs.isdir(mpath):
         fs.rename(mpath, mpath + ".old")
@@ -195,25 +255,26 @@ def _replace_manifest(idx: StoredIndex, fresh: DataFrame) -> None:
 
 
 def delete_rows(
-    idx: StoredIndex,
+    idx,
     victims: DataFrame,
     id_col: str = "id",
-    box: BoxCols | None = None,
+    box=None,
     bytes_col: str | None = None,
     build_id: str = "delete",
-) -> StoredIndex:
+):
     """M2 — remove entries by id; rewrites ONLY buckets holding victims.
+    Works on 2-D and N-d stored indexes alike (dispatch above).
 
-    ``victims`` must carry the id column (and MBR columns if available, to
+    ``victims`` must carry the id column (and box columns if available, to
     route directly; otherwise victim buckets are discovered by semi-join).
     """
     spark = idx.spark
     fs = idx.fs
-    box = box or BoxCols()
+    box = box or _default_box(idx)
     recover(idx)  # finish any interrupted earlier swap first
     data = spark.read.parquet(idx.data_path)
 
-    if set(c.name for c in victims.schema) >= {box.xmin, box.xmax, box.ymin, box.ymax}:
+    if set(c.name for c in victims.schema) >= _box_col_names(box):
         vb = idx.keyed(victims, box).select(id_col, "bucket")
     else:
         vb = data.join(
@@ -259,7 +320,7 @@ def delete_rows(
     keep_rows = (
         idx.manifest()
         .filter(~F.col("bucket").isin(touched))
-        .select(*M.MANIFEST_COLS)
+        .select(*_manifest_cols(idx))
         .collect()
     )
     still = [
@@ -272,15 +333,16 @@ def delete_rows(
     ]
     fresh_rows = []
     if still:
-        fresh_rows = M.manifest_for(
+        fresh_rows = _manifest_for_idx(
+            idx,
             spark.read.option("basePath", idx.data_path).parquet(
                 *[FS.join(idx.data_path, f"bucket={b}") for b in still]
             ),
-            bytes_col=bytes_col,
-            build_id=build_id,
-        ).select(*M.MANIFEST_COLS).collect()
+            bytes_col,
+            build_id,
+        ).select(*_manifest_cols(idx)).collect()
     fresh = spark.createDataFrame(
-        keep_rows + fresh_rows, schema=M.MANIFEST_SCHEMA
+        keep_rows + fresh_rows, schema=_manifest_schema(idx)
     )
     _replace_manifest(idx, fresh)
     # Only now — past the commit point — drop the aside copies.  A crash in

@@ -303,12 +303,52 @@ class NDStoredIndex:
     def manifest_path(self) -> str:
         return FS.join(self.path, "manifest")
 
+    @property
+    def fs(self):
+        return FS.get_fs(self.spark, self.path)
+
     def manifest(self) -> DataFrame:
         return self.spark.read.parquet(self.manifest_path)
 
+    def keyed(self, df: DataFrame, box: NDBox | None = None) -> DataFrame:
+        """Attach z + bucket columns per this index's layout (the mutation
+        router — same role as StoredIndex.keyed)."""
+        box = box or self.box
+        z = curves.z_key_nd(
+            box.centers(), list(self.conf.axes), self.conf.grid_bits
+        )
+        return df.withColumn("z", z).withColumn(
+            "bucket", F.shiftright(F.col("z"), self.shift)
+        )
+
+    def manifest_totals_rows(self) -> list[dict]:
+        """Per-bucket roll-up of (possibly multi-row after incremental
+        inserts) manifest entries; array bounds merged element-wise on the
+        driver — the manifest is driver-sized by design."""
+        agg: dict[int, dict] = {}
+        for r in self.manifest().collect():
+            b = int(r["bucket"])
+            e = agg.get(b)
+            if e is None:
+                agg[b] = {
+                    "bucket": b, "zmin": int(r["zmin"]), "zmax": int(r["zmax"]),
+                    "n_rows": int(r["n_rows"]), "lows": list(r["lows"]),
+                    "highs": list(r["highs"]), "max_ext": list(r["max_ext"]),
+                }
+            else:
+                e["zmin"] = min(e["zmin"], int(r["zmin"]))
+                e["zmax"] = max(e["zmax"], int(r["zmax"]))
+                e["n_rows"] += int(r["n_rows"])
+                e["lows"] = [min(a, b_) for a, b_ in zip(e["lows"], r["lows"])]
+                e["highs"] = [max(a, b_) for a, b_ in zip(e["highs"], r["highs"])]
+                e["max_ext"] = [
+                    max(a, b_) for a, b_ in zip(e["max_ext"], r["max_ext"])
+                ]
+        return list(agg.values())
+
     def relation(self) -> NDRelation:
-        rows = self.manifest().collect()
-        boxes = [(r["bucket"], list(r["lows"]), list(r["highs"])) for r in rows]
+        rows = self.manifest_totals_rows()
+        boxes = [(r["bucket"], r["lows"], r["highs"]) for r in rows]
         exts = [0.0] * self.conf.d
         for r in rows:
             for a in range(self.conf.d):
@@ -324,11 +364,30 @@ class NDStoredIndex:
         )
 
     def validate(self) -> bool:
-        got = _nd_manifest_for(
-            self.spark.read.parquet(self.data_path), self.box
-        ).select("bucket", "zmin", "zmax", "n_rows")
-        want = self.manifest().select("bucket", "zmin", "zmax", "n_rows")
-        return got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+        """isIndexValid() analog: recompute per-bucket aggregates from data
+        and diff against the manifest roll-up."""
+        got = {
+            (int(r["bucket"]), int(r["zmin"]), int(r["zmax"]), int(r["n_rows"]))
+            for r in _nd_manifest_for(
+                self.spark.read.parquet(self.data_path), self.box
+            ).collect()
+        }
+        want = {
+            (r["bucket"], r["zmin"], r["zmax"], r["n_rows"])
+            for r in self.manifest_totals_rows()
+        }
+        return got == want
+
+
+# Explicit manifest schema (mutation rewrites must survive empty frames).
+ND_MANIFEST_COLS = [
+    "bucket", "zmin", "zmax", "n_rows", "lows", "highs", "max_ext", "build_id",
+]
+ND_MANIFEST_SCHEMA = (
+    "bucket long, zmin long, zmax long, n_rows long, "
+    "lows array<double>, highs array<double>, max_ext array<double>, "
+    "build_id string"
+)
 
 
 def _nd_manifest_for(df: DataFrame, box: NDBox, build_id: str = "build-1"):

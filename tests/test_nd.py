@@ -279,3 +279,99 @@ def test_nd_self_join_d2_matches_2d(spark, conf):
         ).collect()
     }
     assert a == b and a
+
+
+# ----------------------------------------------------- ND mutations (r3) --
+
+
+def test_3d_insert_delete_validate(spark, r3, r3_pdf, tmp_path):
+    """M1/M2 at d=3 through the generic staged protocol (VERDICT r2 #6):
+    insert appends only touched buckets, delete rewrites only victim
+    buckets, validate() stays green throughout, queries reflect the
+    mutations exactly."""
+    from libspatialindex_spark.operators import mutations
+
+    head = r3.filter(F.col("id") % 4 != 0)
+    tail = r3.filter(F.col("id") % 4 == 0)
+    conf3 = nd.NDConfig(axes=AX3, grid_bits=10, target_partitions=8)
+    idx = nd.build_index_nd(head, str(tmp_path / "i3"), conf3, BOX3)
+    assert idx.validate()
+
+    # insert the tail (idempotent replay must be a no-op)
+    mutations.insert_batch(idx, tail, build_id="e1", idempotent=True)
+    assert idx.validate()
+    n1 = sum(r["n_rows"] for r in idx.manifest_totals_rows())
+    mutations.insert_batch(idx, tail, build_id="e1", idempotent=True)
+    assert sum(r["n_rows"] for r in idx.manifest_totals_rows()) == n1
+    assert n1 == len(r3_pdf)
+
+    # full-table query parity after insert
+    got = {
+        r.id
+        for r in nd.intersects_query_nd(idx.relation(), W3_LO, W3_HI).collect()
+    }
+    p = r3_pdf
+    m = ~(
+        (p.xmin > W3_HI[0]) | (p.xmax < W3_LO[0])
+        | (p.ymin > W3_HI[1]) | (p.ymax < W3_LO[1])
+        | (p.wmin > W3_HI[2]) | (p.wmax < W3_LO[2])
+    )
+    assert got == set(p.id[m])
+
+    # delete a victim set by id (semi-join routing), verify queries shrink
+    victim_ids = sorted(set(p.id[p.id % 7 == 0]))[:200]
+    mutations.delete_rows(
+        idx, spark.createDataFrame([(i,) for i in victim_ids], ["id"])
+    )
+    assert idx.validate()
+    got2 = {
+        r.id
+        for r in nd.intersects_query_nd(idx.relation(), W3_LO, W3_HI).collect()
+    }
+    assert got2 == set(p.id[m]) - set(victim_ids)
+
+
+def test_3d_delete_crash_recovery(spark, r3, tmp_path, monkeypatch):
+    """The manifest-consistent recover() protocol holds at d=3: a crash
+    before the manifest commit rolls every touched bucket back."""
+    from libspatialindex_spark.operators import mutations
+
+    conf3 = nd.NDConfig(axes=AX3, grid_bits=10, target_partitions=8)
+    df = r3.limit(2000)
+    idx = nd.build_index_nd(df, str(tmp_path / "i3c"), conf3, BOX3)
+    data = spark.read.parquet(idx.data_path)
+    b0 = data.select("bucket").limit(1).collect()[0][0]
+    victims = data.filter(F.col("bucket") == b0).select("id").distinct()
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(mutations, "_replace_manifest", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        mutations.delete_rows(idx, victims)
+    monkeypatch.undo()
+
+    mutations.recover(idx)
+    assert idx.validate()  # rolled back to the exact pre-delete state
+    mutations.delete_rows(idx, victims)
+    assert idx.validate()
+    restored = spark.read.parquet(idx.data_path)
+    assert restored.filter(F.col("bucket") == b0).count() == 0
+
+
+def test_index_nd_facade_mutations(spark, r3, tmp_path):
+    """IndexND.insert/delete/recover/is_valid — C API parity at d>2."""
+    from libspatialindex_spark.api import IndexND
+
+    head = r3.filter(F.col("id") % 3 != 0)
+    tail = r3.filter(F.col("id") % 3 == 0).limit(500)
+    ix = IndexND.create(
+        spark.createDataFrame(head.toPandas()), str(tmp_path / "f3"),
+        axes=AX3, dims=BOX3.dims,
+    )
+    assert ix.is_valid()
+    ix.insert(tail, build_id="e9", idempotent=True)
+    assert ix.is_valid()
+    some = tail.select("id").limit(50)
+    ix.delete(some)
+    assert ix.recover().is_valid()
