@@ -181,8 +181,57 @@ class StoredIndex:
         return FS.join(self.path, "data")
 
     @property
+    def filemap_path(self) -> str:
+        return FS.join(self.path, "filemap")
+
+    @property
     def fs(self):
         return FS.get_fs(self.spark, self.path)
+
+    def file_map(self) -> DataFrame | None:
+        """Per-FILE zone map (path, bucket, zmin, zmax, n_rows) — the
+        third index level (sub-bucket), written by builds with
+        ``max_records_per_file`` and invalidated by mutations (rebuild via
+        :func:`refresh_file_map`)."""
+        p = self.filemap_path
+        fs = self.fs
+        if not fs.isdir(p) or not any(
+            f.endswith(".parquet") for f in fs.listdir(p)
+        ):
+            return None
+        return self.spark.read.parquet(p)
+
+    def zm_models(self) -> dict[int, tuple[float, float, int]]:
+        """Per-bucket learned rank model {bucket: (a, b, max_err)} — the
+        ZM per-node regression analog (``LearnedIndex.cc:1494-1507``):
+        ``rank(z) ≈ a·z + b`` with a certified absolute error bound, fit
+        at build time from the file boundaries (an exact piecewise CDF).
+        Empty when no file map exists."""
+        p = FS.join(self.path, "zm_models.json")
+        fs = self.fs
+        if not fs.exists(p):
+            return {}
+        d = json.loads(fs.read_text(p))
+        return {
+            int(k): (float(v[0]), float(v[1]), int(v[2]))
+            for k, v in d.items()
+        }
+
+    def estimate_rows(self, bucket: int, zlo: int, zhi: int) -> tuple[int, int]:
+        """Certified [min, max] row-count estimate for a z range inside a
+        bucket, from the learned model — a driver-side selectivity oracle
+        with NO data access (the reference uses the same model to bound
+        its in-node binary-search window)."""
+        m = self.zm_models().get(bucket)
+        if m is None:
+            raise KeyError(f"no learned model for bucket {bucket}")
+        a, b, err = m
+        lo = a * zlo + b
+        hi = a * zhi + b
+        return (
+            max(0, int(math.floor(hi - err) - math.ceil(lo + err))),
+            max(0, int(math.ceil(hi + err) - math.floor(lo - err))),
+        )
 
     @property
     def bucket_shift(self) -> int:
@@ -230,6 +279,13 @@ class StoredIndex:
         exts = self.manifest().agg(
             F.max("max_ex").alias("ex"), F.max("max_ey").alias("ey")
         ).collect()[0]
+        fb = []
+        fm = self.file_map()
+        if fm is not None:
+            fb = [
+                (r["path"], r["bucket"], r["zmin"], r["zmax"], r["n_rows"])
+                for r in fm.collect()
+            ]
         df = self.spark.read.parquet(self.data_path)
         return StoredRelation(
             df=df,
@@ -239,6 +295,8 @@ class StoredIndex:
             max_extent=(exts["ex"] or 0.0, exts["ey"] or 0.0),
             bucket_shift=self.spec.shift if self.spec.kind == "zprefix" else None,
             bucket_boxes=boxes,
+            file_boxes=fb,
+            data_path=self.data_path,
         )
 
     def validate(self) -> bool:
@@ -258,11 +316,20 @@ class StoredRelation(SpatialRelation):
 
     Pruning = driver-side manifest-MBR intersection (→ ``bucket IN``
     partition filter, works for every partitioner) composed with the
-    Z-cover BETWEEN disjunction (zprefix only, → parquet row-group stats).
+    Z-cover BETWEEN disjunction (zprefix only, → parquet row-group stats),
+    and — when the build wrote a file map — a third, sub-bucket level:
+    the scan is re-planned over ONLY the files whose [zmin, zmax] zone
+    meets the cover (the ZM learned index's in-node skip,
+    ``LearnedIndex.cc:1494-1507``, expressed as driver-side file
+    selection).
     """
 
     bucket_shift: int | None = None
     bucket_boxes: list = field(default_factory=list)
+    # (path, bucket, zmin, zmax, n_rows) per data file — z-disjoint within
+    # a bucket because the build sorts by z before splitting files
+    file_boxes: list = field(default_factory=list)
+    data_path: str | None = None
 
     def seed_knn_radius(self, px: float, py: float, k: int) -> float | None:
         """Certified kNN radius from the manifest (VERDICT r1 #7): sort
@@ -298,6 +365,7 @@ class StoredRelation(SpatialRelation):
         self, qxmin: float, qymin: float, qxmax: float, qymax: float
     ) -> DataFrame:
         df = self.df
+        hit: list | None = None
         if self.bucket_boxes:
             hit = [
                 b for b, x0, y0, x1, y1, *_ in self.bucket_boxes
@@ -307,14 +375,35 @@ class StoredRelation(SpatialRelation):
                 return df.filter(F.lit(False))
             if len(hit) < len(self.bucket_boxes):
                 df = df.filter(F.col("bucket").isin(hit))
+        pred = None
+        ranges: list[tuple[int, int]] = []
         if self.bucket_shift is not None and self.max_extent is not None:
             from libspatialindex_spark.plans.cover import z_cover
 
             expand = max(self.max_extent)
             cov = z_cover(qxmin, qymin, qxmax, qymax, self.conf, expand=expand)
+            ranges = cov.coalesced(max_ranges=16)
             pred = self.z_range_predicate(cov)
-            if pred is not None:
-                df = df.filter(pred)
+        # Third level: file-zone-map refinement — re-plan the scan over
+        # only the files whose z range meets the cover (and whose bucket
+        # survived the MBR prune).
+        if self.file_boxes and ranges and self.data_path is not None:
+            hset = set(hit) if hit is not None else None
+            files = [
+                p
+                for p, b, z0, z1, *_ in self.file_boxes
+                if (hset is None or b in hset)
+                and any(not (z0 > rhi or z1 < rlo) for rlo, rhi in ranges)
+            ]
+            if not files:
+                return df.filter(F.lit(False))
+            if len(files) < len(self.file_boxes):
+                sub = self.df.sparkSession.read.option(
+                    "basePath", self.data_path
+                ).parquet(*files)
+                return sub.filter(pred) if pred is not None else sub
+        if pred is not None:
+            df = df.filter(pred)
         return df
 
 
@@ -330,11 +419,15 @@ def build_index(
     cuts: list[int] | None = None,
     kd_levels: int | None = None,
     workload_boxes=None,
+    max_records_per_file: int | None = None,
 ) -> StoredIndex:
     """Bulk-load ``df`` into a stored index at ``path``.
 
     ``resume=True`` reuses the persisted PartitionSpec, skips committed
-    buckets, and sweeps stale uncommitted bucket dirs (crash cleanup)."""
+    buckets, and sweeps stale uncommitted bucket dirs (crash cleanup).
+    ``max_records_per_file`` splits bucket data into z-disjoint files and
+    records a per-file zone map + learned rank models (B6 refinement —
+    see :func:`refresh_file_map`)."""
     spark = df.sparkSession
     box = box or BoxCols()
     data_path = FS.join(path, "data")
@@ -408,13 +501,16 @@ def build_index(
 
     # The "external sort": one range shuffle on z, then in-partition sort —
     # rows land clustered so parquet row-group zone maps on z are tight.
-    (
+    writer = (
         keyed.repartitionByRange(conf.target_partitions, "z")
         .sortWithinPartitions("z")
         .write.partitionBy("bucket")
         .mode("append")
-        .parquet(data_path)
     )
+    if max_records_per_file:
+        # consecutive-row splits of a z-sorted task output → z-disjoint files
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.parquet(data_path)
 
     # Commit point: manifest rows are derived from the *written* files, so a
     # manifest row certifies durable data (write data → then commit).  Read
@@ -431,7 +527,75 @@ def build_index(
     written = spark.read.option("basePath", data_path).parquet(*new_dirs)
     mdf = M.manifest_for(written, bytes_col=bytes_col, build_id=build_id)
     mdf.write.mode("append").parquet(M.manifest_path(path))
+    if max_records_per_file:
+        refresh_file_map(idx)
     return idx
+
+
+def refresh_file_map(idx: StoredIndex) -> None:
+    """(Re)build the per-file zone map and the per-bucket learned rank
+    models (B6 completion — ``LearnedIndex.cc:1494-1507`` /
+    ``BulkLoader.cc:429-445`` analog).
+
+    File zone map: one scan grouped by ``input_file_name()`` → (path,
+    bucket, zmin, zmax, n_rows).  Files within a bucket are z-disjoint
+    (the build sorts by z before ``maxRecordsPerFile`` splits), so the map
+    is a third pruning level below buckets.
+
+    Learned models: per bucket, least-squares fit ``rank(z) ≈ a·z + b``
+    over the exact CDF points at file boundaries, with a certified
+    absolute error bound = max boundary residual + max file rows (rank and
+    prediction are both monotone between boundaries, so the bound holds
+    everywhere in the bucket).  The models answer selectivity questions
+    driver-side with zero IO (:meth:`StoredIndex.estimate_rows`)."""
+    spark = idx.spark
+    fs = idx.fs
+    df = spark.read.parquet(idx.data_path)
+    fm = (
+        df.groupBy(
+            F.input_file_name().alias("path"),
+            F.col("bucket").cast("long").alias("bucket"),
+        )
+        .agg(
+            F.min("z").alias("zmin"),
+            F.max("z").alias("zmax"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    rows = fm.collect()
+    tmp = idx.filemap_path + ".new"
+    spark.createDataFrame(
+        rows, schema="path string, bucket long, zmin long, zmax long, n_rows long"
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs.delete(idx.filemap_path)
+    fs.rename(tmp, idx.filemap_path)
+
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(int(r["bucket"]), []).append(
+            (int(r["zmin"]), int(r["zmax"]), int(r["n_rows"]))
+        )
+    models: dict[int, tuple[float, float, int]] = {}
+    for b, files in by_bucket.items():
+        files.sort()
+        zs, ranks, cum = [], [], 0
+        for z0, z1, n in files:
+            zs += [z0, z1]
+            ranks += [cum, cum + n]
+            cum += n
+        zs_a = np.asarray(zs, dtype=np.float64)
+        rk_a = np.asarray(ranks, dtype=np.float64)
+        if len(files) == 1 and zs_a[0] == zs_a[1]:
+            a, c = 0.0, float(rk_a.mean())
+        else:
+            a, c = np.polyfit(zs_a, rk_a, 1)
+        resid = float(np.max(np.abs(a * zs_a + c - rk_a)))
+        err = int(math.ceil(resid)) + max(n for _, _, n in files)
+        models[b] = (float(a), float(c), err)
+    fs.write_text(
+        FS.join(idx.path, "zm_models.json"),
+        json.dumps({str(k): list(v) for k, v in models.items()}),
+    )
 
 
 def load_index(

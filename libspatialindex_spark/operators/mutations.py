@@ -105,6 +105,17 @@ def _box_col_names(box) -> set[str]:
     return {box.xmin, box.ymin, box.xmax, box.ymax}
 
 
+def _invalidate_file_map(idx) -> None:
+    """Drop the per-file zone map + learned models after a mutation —
+    a stale file map would silently exclude newly-inserted files from
+    pruned scans.  Rebuild with ``index_build.refresh_file_map``."""
+    if not hasattr(idx, "filemap_path"):
+        return
+    fs = idx.fs
+    fs.delete(idx.filemap_path)
+    fs.delete(FS.join(idx.path, "zm_models.json"))
+
+
 def committed_build_ids(idx) -> set[str]:
     m = _read_manifest_df(idx)
     if m is None:
@@ -178,6 +189,9 @@ def insert_batch(
     fs.delete(staging)
 
     # Commit point: manifest append (explicit schema — never inferred).
+    # The file map goes stale FIRST (fail-safe: losing it only loses the
+    # refinement; keeping a stale one would lose rows from pruned scans).
+    _invalidate_file_map(idx)
     spark.createDataFrame(
         mrows, schema=_manifest_schema(idx)
     ).coalesce(1).write.mode("append").parquet(_mpath(idx))
@@ -344,6 +358,7 @@ def delete_rows(
     fresh = spark.createDataFrame(
         keep_rows + fresh_rows, schema=_manifest_schema(idx)
     )
+    _invalidate_file_map(idx)  # before commit: stale map must never survive
     _replace_manifest(idx, fresh)
     # Only now — past the commit point — drop the aside copies.  A crash in
     # this window leaves harmless ``.old`` debris that recover() sweeps.

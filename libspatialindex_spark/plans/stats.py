@@ -105,6 +105,9 @@ def observed_query(rel, qxmin, qymin, qxmax, qymax, predicate="intersects"):
         return {
             "buckets_total": len(boxes) or None,
             "buckets_scanned": len(hit) if boxes else None,
+            # files the pruned plan can touch (the file-zone-map refinement
+            # re-plans the scan over a file subset, so this shrinks with it)
+            "files_planned": len(pruned.inputFiles()),
             "rows_scanned": scan_obs.get["rows_scanned"],
             "rows_returned": out_obs.get["rows_returned"],
         }
