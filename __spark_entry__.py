@@ -149,6 +149,21 @@ def q13_segment_range(spark, sf_dir):
     return range_query.segment_query(rel, *SEG).select("id")
 
 
+def q49_segment_segment(spark, sf_dir):
+    """Segment×segment predicate (LineSegment.cc:472-483 decision
+    procedure): each rect contributes its main diagonal (xmin,ymin)→
+    (xmax,ymax); emit ids whose diagonal meets the fixed query segment
+    SEG — proper crossing or collinear touch, endpoints inclusive."""
+    from libspatialindex_spark.functions import geometry as G
+
+    df = td.rects(spark, sf_dir)
+    pred = G.segment_intersects_segment(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+        SEG[0], SEG[1], SEG[2], SEG[3],
+    )
+    return df.filter(pred).select("id")
+
+
 def q14_batch_queries(spark, sf_dir):
     """The reference's multi-window workload (RTreeParallel.cc analog) as
     ONE job: (qid, id) hits for every derived query window."""
@@ -562,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_ball_range": q12_ball_range,
         "q13_segment_range": q13_segment_range,
         "q14_batch_queries": q14_batch_queries,
+        "q49_segment_segment": q49_segment_segment,
         "q15_count_contains": q15_count_contains,
         "q16_3d_range": q16_3d_range,
         "q17_3d_knn": q17_3d_knn,
@@ -976,6 +992,46 @@ def _moving_region_oracle() -> str:
     """
 
 
+def _seg_seg_oracle() -> str:
+    """q49: the LineSegment.cc:472-483 decision procedure in SQL — signed
+    doubled-triangle areas (exact dyadic arithmetic, bit-identical in both
+    engines), proper-crossing XOR tests, one-axis collinear between."""
+    ax, ay, bx, by = "xmin", "ymin", "xmax", "ymax"
+    cx, cy, dx, dy = (repr(float(v)) for v in SEG)
+
+    def area(px, py, qx, qy, rx, ry):
+        return (
+            f"(({qx} - {px}) * ({ry} - {py}) - ({rx} - {px}) * ({qy} - {py}))"
+        )
+
+    def between(p1x, p1y, p2x, p2y, qx, qy, a):
+        onx = f"(({p1x} <= {qx} AND {qx} <= {p2x}) OR ({p1x} >= {qx} AND {qx} >= {p2x}))"
+        ony = f"(({p1y} <= {qy} AND {qy} <= {p2y}) OR ({p1y} >= {qy} AND {qy} >= {p2y}))"
+        return (
+            f"({a} = 0 AND (CASE WHEN {p1x} <> {p2x} THEN {onx} "
+            f"ELSE {ony} END))"
+        )
+
+    abc = area(ax, ay, bx, by, cx, cy)
+    abd = area(ax, ay, bx, by, dx, dy)
+    cda = area(cx, cy, dx, dy, ax, ay)
+    cdb = area(cx, cy, dx, dy, bx, by)
+    proper = (
+        f"({abc} <> 0 AND {abd} <> 0 AND {cda} <> 0 AND {cdb} <> 0 "
+        f"AND (({abc} > 0) <> ({abd} > 0)) AND (({cda} > 0) <> ({cdb} > 0)))"
+    )
+    touching = " OR ".join([
+        between(ax, ay, bx, by, cx, cy, abc),
+        between(ax, ay, bx, by, dx, dy, abd),
+        between(cx, cy, dx, dy, ax, ay, cda),
+        between(cx, cy, dx, dy, bx, by, cdb),
+    ])
+    return f"""
+        WITH rects AS ({_R})
+        SELECT id FROM rects WHERE {proper} OR {touching}
+    """
+
+
 _INTERSECTS_W = (
     f"NOT (xmin > {W[2]} OR xmax < {W[0]}) AND "
     f"NOT (ymin > {W[3]} OR ymax < {W[1]})"
@@ -1100,6 +1156,7 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE {W[0]} <= xmin AND xmax <= {W[2]}
               AND {W[1]} <= ymin AND ymax <= {W[3]}
         """,
+        "q49_segment_segment": _seg_seg_oracle(),
         "q14_batch_queries": f"""
             WITH rects AS ({_R}), w AS ({td.WINDOWS_SQL.strip()})
             SELECT w.qid, rects.id

@@ -154,6 +154,57 @@ def segment_intersects_box(x1, y1, x2, y2, xmin, ymin, xmax, ymax) -> Column:
     return enter <= leave
 
 
+def _d2area(ax, ay, bx, by, cx, cy) -> Column:
+    """Twice the signed triangle area (LineSegment.cc:427-430)."""
+    return (_c(bx) - _c(ax)) * (_c(cy) - _c(ay)) - (
+        (_c(cx) - _c(ax)) * (_c(by) - _c(ay))
+    )
+
+
+def _between_1d(a: Column, b: Column, c: Column) -> Column:
+    """c within [min(a,b), max(a,b)] (LineSegment.cc:467-469)."""
+    return ((a <= c) & (c <= b)) | ((a >= c) & (c >= b))
+
+
+def segment_intersects_segment(
+    ax, ay, bx, by, cx, cy, dx, dy
+) -> Column:
+    """2-D segment (a→b) ∩ segment (c→d) ≠ ∅, endpoints INCLUSIVE — the
+    exact ``LineSegment::intersects`` decision procedure
+    (``src/spatialindex/LineSegment.cc:472-483``): a *proper* crossing
+    (strictly opposite orientations on both segments, no collinear
+    endpoint — ``intersectsProper``, ``:444-451``) OR any endpoint
+    collinear-and-between the other segment (``between``, ``:454-469`` —
+    x-compared unless the base segment is vertical).  Pure sign tests on
+    doubled triangle areas; no division, codegen-safe."""
+    ax, ay, bx, by = _c(ax), _c(ay), _c(bx), _c(by)
+    cx, cy, dx, dy = _c(cx), _c(cy), _c(dx), _c(dy)
+    abc = _d2area(ax, ay, bx, by, cx, cy)
+    abd = _d2area(ax, ay, bx, by, dx, dy)
+    cda = _d2area(cx, cy, dx, dy, ax, ay)
+    cdb = _d2area(cx, cy, dx, dy, bx, by)
+    any_collinear = (abc == 0.0) | (abd == 0.0) | (cda == 0.0) | (cdb == 0.0)
+    proper = (
+        ~any_collinear
+        & ((abc > 0.0) != (abd > 0.0))
+        & ((cda > 0.0) != (cdb > 0.0))
+    )
+
+    def between(px1, py1, px2, py2, qx, qy, area):
+        on_seg = F.when(
+            px1 != px2, _between_1d(px1, px2, qx)
+        ).otherwise(_between_1d(py1, py2, qy))
+        return (area == 0.0) & on_seg
+
+    touching = (
+        between(ax, ay, bx, by, cx, cy, abc)
+        | between(ax, ay, bx, by, dx, dy, abd)
+        | between(cx, cy, dx, dy, ax, ay, cda)
+        | between(cx, cy, dx, dy, bx, by, cdb)
+    )
+    return proper | touching
+
+
 # ----------------------------------------------------------- N-dimensional
 #
 # The reference's Region kernel is dimension-generic (per-dim loops over
