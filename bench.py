@@ -68,8 +68,13 @@ def main() -> None:
 
     idx_path = f"/tmp/libspatialindex_spark_bench/rects_idx_{sf}"
     if not os.path.isdir(os.path.join(idx_path, "data")):
-        index_build.build_index(td.rects(spark, sf_dir), idx_path, conf)
+        index_build.build_index(
+            td.rects(spark, sf_dir), idx_path, conf,
+            max_records_per_file=20_000,
+        )
     idx = index_build.load_index(spark, idx_path, conf)
+    if idx.file_map() is None:  # index cached by an older round: refine it
+        index_build.refresh_file_map(idx)
     rel_idx = idx.relation()
     rel_scan = SpatialRelation(
         td.rects(spark, sf_dir), conf, max_extent=(td.MAX_EXTENT, td.MAX_EXTENT)
@@ -96,6 +101,32 @@ def main() -> None:
         rel_idx.pruned_for_box(wx, wy, wx + 0.01, wy + 0.01).count()
         for wx, wy in rng_windows[:5]
     ) / 5.0
+
+    # Per-query IO accounting (A4 — the reference visitor's index-vs-leaf
+    # counters): buckets/files planned, rows scanned vs returned, via the
+    # in-flight Observation plumbing on the STORED index.  Makes prune
+    # regressions visible round-over-round in the bench record.
+    from libspatialindex_spark.operators import temporal_index as ti
+    from libspatialindex_spark.plans import stats
+
+    io_acct: dict[str, dict] = {}
+    wx, wy = 0.25, 0.25
+    for predicate in ("intersects", "contains", "point"):
+        dfq, io = stats.observed_query(
+            rel_idx, wx, wy, wx + 0.05, wy + 0.05, predicate
+        )
+        dfq.write.format("noop").mode("overwrite").save()
+        io_acct[predicate] = io()
+    vidx = entrymod._version_index(spark, sf_dir)
+    out_v, vio = ti.time_range_query_stored(
+        vidx, *entrymod.W, *entrymod.TQ
+    )
+    out_v.write.format("noop").mode("overwrite").save()
+    io_acct["time_range_stored"] = vio
+    midx = entrymod._moving_index(spark, sf_dir, regions=False)
+    out_m, mio = ti.moving_range_query_stored(midx, *entrymod.W, *entrymod.MQ)
+    out_m.write.format("noop").mode("overwrite").save()
+    io_acct["moving_range_stored"] = mio
 
     # Codec stages are CPU-bound: split their input by compute, not IO
     # (128MB default splits collapse the small image table into a handful
@@ -133,6 +164,7 @@ def main() -> None:
                 "scan_range_query_sec": round(scan_sec, 4),
                 "index_speedup": round(scan_sec / max(indexed_sec, 1e-9), 2),
                 "index_prune_factor": round(total_rows / max(pruned_rows, 1.0), 1),
+                "io": io_acct,
                 **_scaling_extras(),
             }
         )
