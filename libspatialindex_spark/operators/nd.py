@@ -190,6 +190,133 @@ def knn_query_nd(
         cand.unpersist()
 
 
+def knn_join_nd(
+    rel: NDRelation,
+    queries: DataFrame,
+    k: int,
+    q_cols: list[str] | None = None,
+    qid_col: str = "qid",
+    dist_col: str = "dist2",
+    ring_init: float = 1.0 / 64.0,
+) -> DataFrame:
+    """Batch kNN in d dims (the 2-D ``knn.knn_join`` shape generalized):
+    iterative radius doubling over the unresolved query subset, d-cube
+    cell equi-join candidates sized to the radius, per-query tie-inclusive
+    threshold, nearest-point-cell dedup (a (query, entry) pair is emitted
+    only from the cell containing the entry box's nearest point to the
+    query — exactly one cell, no dropDuplicates).  Unbounded loop, but the
+    radius doubles per round and the ``r >= world_r`` terminal branch
+    resolves every remaining query with min(k, N) semantics.
+
+    ``q_cols``: the d query-point columns (default q0..q{d-1}).
+    Output: (qid, id, dist2), tie-inclusive per query."""
+    from pyspark.sql import Window
+
+    d = rel.conf.d
+    q_cols = q_cols or [f"q{i}" for i in range(d)]
+    world_r = max(hi - lo for lo, hi in rel.conf.axes)
+    n_rows = rel.df.count()
+    r = max(ring_init, 1.5 * world_r * (k / max(n_rows, 1)) ** (1.0 / d))
+
+    pend_cols = [F.col(qid_col).alias("_qid")] + [
+        F.col(c).alias(f"_q{i}") for i, c in enumerate(q_cols)
+    ]
+    pending = queries.select(*pend_cols).persist()
+    qpt = [F.col(f"_q{i}") for i in range(d)]
+    d2 = G.min_dist2_point_nd(rel.box.lows(), rel.box.highs(), qpt)
+    win = Window.partitionBy("_qid")
+    out: DataFrame | None = None
+
+    def resolve(cand: DataFrame, certified):
+        rn = F.row_number().over(win.orderBy(dist_col, "id"))
+        scored = cand.withColumn("_rn", rn).withColumn(
+            "_kth", F.max(F.when(F.col("_rn") <= k, F.col(dist_col))).over(win)
+        ).withColumn("_cnt", F.count(F.lit(1)).over(win))
+        ok = scored.filter(certified(F.col("_cnt")))
+        rows = ok.filter(F.col(dist_col) <= F.col("_kth")).select(
+            F.col("_qid").alias(qid_col), "id", dist_col
+        )
+        return rows, ok.select("_qid").distinct()
+
+    while True:
+        if pending.limit(1).count() == 0:
+            break
+        if r >= world_r:
+            cand = pending.crossJoin(rel.df).withColumn(dist_col, d2)
+            rows, _ = resolve(cand, lambda cnt: F.lit(True))
+            out = rows if out is None else out.unionByName(rows)
+            break
+        bits = max(1, min(6, int(math.floor(math.log2(world_r / r)))))
+        n = 1 << bits
+        steps = [(hi - lo) / n for lo, hi in rel.conf.axes]
+
+        def cell_of(coords):
+            cell = None
+            for a, ((wlo, _), s) in enumerate(zip(rel.conf.axes, steps)):
+                i = _idx_col(coords[a], wlo, s, n)
+                cell = i if cell is None else cell * F.lit(n) + i
+            return cell
+
+        ecells = rel.df
+        tmp = []
+        ecell = None
+        for a, ((lo_c, hi_c), (wlo, _), s) in enumerate(
+            zip(rel.box.dims, rel.conf.axes, steps)
+        ):
+            i0 = _idx_col(F.col(lo_c), wlo, s, n)
+            i1 = _idx_col(F.col(hi_c), wlo, s, n)
+            ecells = ecells.withColumn(f"_i{a}", F.explode(F.sequence(i0, i1)))
+            tmp.append(f"_i{a}")
+            ecell = (
+                F.col(f"_i{a}") if ecell is None
+                else ecell * F.lit(n) + F.col(f"_i{a}")
+            )
+        ecells = ecells.withColumn("cell", ecell).drop(*tmp)
+
+        qcells = pending
+        tmp = []
+        qcell = None
+        for a, ((wlo, _), s) in enumerate(zip(rel.conf.axes, steps)):
+            i0 = _idx_col(F.col(f"_q{a}") - F.lit(r), wlo, s, n)
+            i1 = _idx_col(F.col(f"_q{a}") + F.lit(r), wlo, s, n)
+            qcells = qcells.withColumn(f"_i{a}", F.explode(F.sequence(i0, i1)))
+            tmp.append(f"_i{a}")
+            qcell = (
+                F.col(f"_i{a}") if qcell is None
+                else qcell * F.lit(n) + F.col(f"_i{a}")
+            )
+        qcells = qcells.withColumn("cell", qcell).drop(*tmp)
+
+        # nearest point of the entry box to the query, per axis
+        near = [
+            F.greatest(
+                F.col(lo_c), F.least(F.col(f"_q{a}"), F.col(hi_c))
+            )
+            for a, (lo_c, hi_c) in enumerate(rel.box.dims)
+        ]
+        cand = (
+            qcells.join(ecells, on="cell")
+            .withColumn(dist_col, d2)
+            .filter(F.col(dist_col) <= F.lit(r * r))
+            .filter(cell_of(near) == F.col("cell"))
+            .persist()
+        )
+        rows, done_qids = resolve(cand, lambda cnt: cnt >= k)
+        out = rows if out is None else out.unionByName(rows)
+        out = out.localCheckpoint()
+        cand.unpersist()
+        new_pending = pending.join(done_qids, on="_qid", how="left_anti").persist()
+        pending.unpersist()
+        pending = new_pending
+        r *= 2.0
+    pending.unpersist()
+    if out is None:
+        return queries.sparkSession.createDataFrame(
+            [], f"{qid_col} long, id long, {dist_col} double"
+        )
+    return out
+
+
 def _idx_col(c, lo: float, step: float, n: int):
     i = F.floor((c - F.lit(lo)) / F.lit(step))
     return F.least(F.greatest(i, F.lit(0)), F.lit(n - 1)).cast("long")

@@ -375,3 +375,24 @@ def test_index_nd_facade_mutations(spark, r3, tmp_path):
     some = tail.select("id").limit(50)
     ix.delete(some)
     assert ix.recover().is_valid()
+
+
+def test_3d_knn_join_vs_bruteforce(spark, rel3, r3_pdf):
+    """Batch kNN at d=3: per-query tie-inclusive sets equal the pandas
+    brute force (the 2-D knn_join contract, dimension-generic)."""
+    qpts = [(1, 0.2, 0.2, 0.2), (2, 0.5, 0.5, 0.5), (3, 0.9, 0.1, 0.8)]
+    qs = spark.createDataFrame(
+        qpts, "qid long, q0 double, q1 double, q2 double"
+    )
+    got = {}
+    for r in nd.knn_join_nd(rel3, qs, 10).collect():
+        got.setdefault(r.qid, set()).add((r.id, r.dist2))
+    p = r3_pdf
+    for qid, qx, qy, qw in qpts:
+        dx = np.maximum.reduce([p.xmin - qx, qx - p.xmax, np.zeros(len(p))])
+        dy = np.maximum.reduce([p.ymin - qy, qy - p.ymax, np.zeros(len(p))])
+        dw = np.maximum.reduce([p.wmin - qw, qw - p.wmax, np.zeros(len(p))])
+        d2 = np.asarray(dx * dx + dy * dy + dw * dw)
+        kth = np.sort(d2)[9]
+        want = set(zip(p.id[d2 <= kth], d2[d2 <= kth]))
+        assert got[qid] == want, qid
