@@ -58,24 +58,19 @@ def versions_from_ops(
     currently-live entry), which ``deleteData`` guarantees — it errors on a
     miss.
 
-    One window per op kind (rank within (id, mbr)) + one equi-join on
-    (id, mbr, rank); at scale the op log is partitioned by id so both the
-    window shuffle and the join co-locate."""
-    w_ins = Window.partitionBy(id_col, *box_cols).orderBy(t_col)
-    ins = ops.filter(F.col(op_col) == 1).withColumn(
-        "_rk", F.row_number().over(w_ins)
-    )
-    w_del = Window.partitionBy("_did", *[f"_d_{c}" for c in box_cols]).orderBy(
-        "_dt"
-    )
-    dels = (
-        ops.filter(F.col(op_col) == 0)
-        .select(
-            F.col(id_col).alias("_did"),
-            *[F.col(c).alias(f"_d_{c}") for c in box_cols],
-            F.col(t_col).alias("_dt"),
-        )
-        .withColumn("_rk2", F.row_number().over(w_del))
+    ONE window over the whole op stream (rank within (id, mbr, op)) + one
+    equi-join on (id, mbr, rank) — both join branches share the window's
+    exchange (Catalyst ReusedExchange), so the fold costs one window
+    shuffle + the join; at scale the op log is partitioned by id so
+    everything co-locates."""
+    w = Window.partitionBy(id_col, *box_cols, op_col).orderBy(t_col)
+    ranked = ops.withColumn("_rk0", F.row_number().over(w))
+    ins = ranked.filter(F.col(op_col) == 1).withColumnRenamed("_rk0", "_rk")
+    dels = ranked.filter(F.col(op_col) == 0).select(
+        F.col(id_col).alias("_did"),
+        *[F.col(c).alias(f"_d_{c}") for c in box_cols],
+        F.col(t_col).alias("_dt"),
+        F.col("_rk0").alias("_rk2"),
     )
     cond = (F.col(id_col) == F.col("_did")) & (F.col("_rk") == F.col("_rk2"))
     for c in box_cols:
