@@ -156,7 +156,16 @@ def q49_segment_segment(spark, sf_dir):
     SEG — proper crossing or collinear touch, endpoints inclusive."""
     from libspatialindex_spark.functions import geometry as G
 
-    df = td.rects(spark, sf_dir)
+    # Lineage barrier BEFORE the predicate: the segment test references
+    # each coordinate ~8× (4 signed areas + between branches); Catalyst
+    # pushes the filter through any reshuffle and CollapseProject then
+    # substitutes the full dyadic derivation of every coordinate into
+    # every reference (the OR-chain blow-up class — codegen bails to the
+    # interpreter, measured 16 s vs 0.4 s on plain columns).  A lazy
+    # localCheckpoint materializes the 5 coordinate columns once; the
+    # filter then sees plain attributes.  On a stored table (the real
+    # deployment) the columns are already materialized and this is moot.
+    df = td.rects(spark, sf_dir).localCheckpoint(eager=False)
     pred = G.segment_intersects_segment(
         F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
         SEG[0], SEG[1], SEG[2], SEG[3],
