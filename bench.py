@@ -55,7 +55,16 @@ def main() -> None:
     td.rects(spark, sf_dir).count()
 
     queries: dict[str, float] = {}
+    jvm = spark.sparkContext._jvm
     for name, fn in entrymod.queries().items():
+        # Clean slate per query (outside the timed window): queries that
+        # materialize eagerly leave localCheckpoint blocks and broadcasts
+        # behind; unreleased blocks crowd the unified memory pool and
+        # starve later queries' execution memory (measured 3-10× swings on
+        # the shuffle-heavy dedup queries).  Driver-side GC lets the
+        # ContextCleaner actually release them.
+        spark.catalog.clearCache()
+        jvm.System.gc()
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         queries[name] = round(time.time() - t0, 3)
