@@ -57,6 +57,11 @@ class StoredVersionIndex:
     spark: SparkSession
     path: str
     buckets: list[dict]  # per-bucket {tb, ts_min, te_max, xmin..ymax, n_rows}
+    # persisted bucketing grid (insert routing): tstart bucket =
+    # clamp(floor((tstart - t_lo)/width), 0, n_tbuckets-1)
+    t_lo: float = 0.0
+    width: float = 1.0
+    n_tbuckets: int = 16
 
     @property
     def data_path(self) -> str:
@@ -152,9 +157,15 @@ def build_version_index(
     ]
     fs.write_text(
         FS.join(path, "temporal.json"),
-        json.dumps({"kind": "versions", "buckets": buckets}),
+        json.dumps({
+            "kind": "versions", "buckets": buckets,
+            "t_lo": t_lo, "width": width, "n_tbuckets": n_tbuckets,
+        }),
     )
-    return StoredVersionIndex(spark=spark, path=path, buckets=buckets)
+    return StoredVersionIndex(
+        spark=spark, path=path, buckets=buckets,
+        t_lo=t_lo, width=width, n_tbuckets=n_tbuckets,
+    )
 
 
 def load_version_index(spark: SparkSession, path: str) -> StoredVersionIndex:
@@ -163,7 +174,11 @@ def load_version_index(spark: SparkSession, path: str) -> StoredVersionIndex:
     if not fs.exists(mpath):
         raise FileNotFoundError(f"no temporal.json under {path}")
     d = json.loads(fs.read_text(mpath))
-    return StoredVersionIndex(spark=spark, path=path, buckets=d["buckets"])
+    return StoredVersionIndex(
+        spark=spark, path=path, buckets=d["buckets"],
+        t_lo=float(d.get("t_lo", 0.0)), width=float(d.get("width", 1.0)),
+        n_tbuckets=int(d.get("n_tbuckets", len(d["buckets"]) or 16)),
+    )
 
 
 def time_range_query_stored(
@@ -209,6 +224,8 @@ class StoredMovingIndex:
     path: str
     buckets: list[dict]
     cols: dict  # lo/hi/vlo/vhi column names per axis
+    world: tuple[float, float, float, float] = (0.0, 0.0, 1.0, 1.0)
+    bits: int = 3
 
     @property
     def data_path(self) -> str:
@@ -316,9 +333,15 @@ def build_moving_index(
     }
     fs.write_text(
         FS.join(path, "temporal.json"),
-        json.dumps({"kind": "moving", "buckets": buckets, "cols": cols}),
+        json.dumps({
+            "kind": "moving", "buckets": buckets, "cols": cols,
+            "world": list(world), "bits": bits,
+        }),
     )
-    return StoredMovingIndex(spark=spark, path=path, buckets=buckets, cols=cols)
+    return StoredMovingIndex(
+        spark=spark, path=path, buckets=buckets, cols=cols,
+        world=world, bits=bits,
+    )
 
 
 def load_moving_index(spark: SparkSession, path: str) -> StoredMovingIndex:
@@ -328,8 +351,244 @@ def load_moving_index(spark: SparkSession, path: str) -> StoredMovingIndex:
         raise FileNotFoundError(f"no temporal.json under {path}")
     d = json.loads(fs.read_text(mpath))
     return StoredMovingIndex(
-        spark=spark, path=path, buckets=d["buckets"], cols=d["cols"]
+        spark=spark, path=path, buckets=d["buckets"], cols=d["cols"],
+        world=tuple(d.get("world", (0.0, 0.0, 1.0, 1.0))),
+        bits=int(d.get("bits", 3)),
     )
+
+
+# ------------------------------------------------- incremental mutations --
+#
+# The C API ships TP/MVR variants of insertData/deleteData
+# (``sidx_api.h:50-105`` — Index_InsertTPData / Index_DeleteMVRData …);
+# the distributed analog below is the same staged, tag-prefixed append +
+# anti-join bucket rewrite the spatial mutations use, with the JSON
+# envelope manifest as the commit point (single writer, like the
+# reference).  Inserts route through the PERSISTED bucket grid, so
+# envelopes stay exact and pruning stays lossless after any mutation.
+
+
+def _version_tb_expr(idx: StoredVersionIndex, tstart: str):
+    return F.least(
+        F.lit(idx.n_tbuckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(tstart) - F.lit(idx.t_lo)) / F.lit(idx.width)),
+        ),
+    ).cast("long")
+
+
+def _moving_mb_expr(idx: StoredMovingIndex):
+    wx0, wy0, wx1, wy1 = idx.world
+    n = 1 << idx.bits
+    c = idx.cols
+    cx = (F.col(c["lo"][0]) + F.col(c["hi"][0])) / 2
+    cy = (F.col(c["lo"][1]) + F.col(c["hi"][1])) / 2
+    ix = F.least(
+        F.lit(n - 1),
+        F.greatest(F.lit(0), F.floor((cx - F.lit(wx0)) / F.lit((wx1 - wx0) / n))),
+    ).cast("long")
+    iy = F.least(
+        F.lit(n - 1),
+        F.greatest(F.lit(0), F.floor((cy - F.lit(wy0)) / F.lit((wy1 - wy0) / n))),
+    ).cast("long")
+    return ix * n + iy
+
+
+def _move_staged_in(fs, staging: str, data_path: str, part: str, tag: str):
+    import re as _re
+
+    safe = _re.sub(r"[^A-Za-z0-9_.-]", "_", tag)
+    for bname in fs.listdir(staging):
+        if not bname.startswith(f"{part}="):
+            continue
+        src_dir = FS.join(staging, bname)
+        dst_dir = FS.join(data_path, bname)
+        fs.mkdirs(dst_dir)
+        for fname in fs.listdir(src_dir):
+            if fname.endswith(".parquet"):
+                fs.rename(
+                    FS.join(src_dir, fname),
+                    FS.join(dst_dir, f"{safe}-{fname}"),
+                )
+    fs.delete(staging)
+
+
+def _recompute_buckets(idx, part: str, touched: list[int], agg_fn) -> list[dict]:
+    """Merge untouched manifest rows with freshly-aggregated touched ones."""
+    fs = FS.get_fs(idx.spark, idx.path)
+    keep = [b for b in idx.buckets if b[part] not in set(touched)]
+    fresh = []
+    live = [
+        FS.join(idx.data_path, f"{part}={b}")
+        for b in touched
+        if fs.isdir(FS.join(idx.data_path, f"{part}={b}"))
+        and any(f.endswith(".parquet")
+                for f in fs.listdir(FS.join(idx.data_path, f"{part}={b}")))
+    ]
+    if live:
+        df = idx.spark.read.option("basePath", idx.data_path).parquet(*live)
+        fresh = agg_fn(df)
+    return keep + fresh
+
+
+def _version_agg(df: DataFrame) -> list[dict]:
+    b = BoxCols()
+    rows = (
+        df.groupBy(F.col("tb").cast("long").alias("tb"))
+        .agg(
+            F.min("tstart").alias("ts_min"), F.max("tend").alias("te_max"),
+            F.min(b.xmin).alias("xmin"), F.min(b.ymin).alias("ymin"),
+            F.max(b.xmax).alias("xmax"), F.max(b.ymax).alias("ymax"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).collect()
+    )
+    return [
+        {"tb": int(r["tb"]), "ts_min": float(r["ts_min"]),
+         "te_max": float(r["te_max"]), "xmin": float(r["xmin"]),
+         "ymin": float(r["ymin"]), "xmax": float(r["xmax"]),
+         "ymax": float(r["ymax"]), "n_rows": int(r["n_rows"])}
+        for r in rows
+    ]
+
+
+def _moving_agg(cols: dict):
+    lo, hi, vlo, vhi = cols["lo"], cols["hi"], cols["vlo"], cols["vhi"]
+
+    def agg(df: DataFrame) -> list[dict]:
+        rows = (
+            df.groupBy(F.col("mb").cast("long").alias("mb"))
+            .agg(
+                F.min(lo[0]).alias("xlo"), F.max(hi[0]).alias("xhi"),
+                F.min(lo[1]).alias("ylo"), F.max(hi[1]).alias("yhi"),
+                F.min(vlo[0]).alias("vxlo"), F.max(vhi[0]).alias("vxhi"),
+                F.min(vlo[1]).alias("vylo"), F.max(vhi[1]).alias("vyhi"),
+                F.count(F.lit(1)).alias("n_rows"),
+            ).collect()
+        )
+        return [
+            {k: (int(r[k]) if k in ("mb", "n_rows") else float(r[k]))
+             for k in ("mb", "xlo", "xhi", "ylo", "yhi",
+                       "vxlo", "vxhi", "vylo", "vyhi", "n_rows")}
+            for r in rows
+        ]
+
+    return agg
+
+
+def _commit_json(idx, part: str, buckets: list[dict], extra: dict) -> None:
+    fs = FS.get_fs(idx.spark, idx.path)
+    fs.write_text(
+        FS.join(idx.path, "temporal.json"),
+        json.dumps({"buckets": buckets, **extra}),
+    )
+
+
+def insert_versions(
+    idx: StoredVersionIndex, rows: DataFrame, build_id: str = "insert",
+) -> StoredVersionIndex:
+    """Append version entries (Index_InsertMVRData analog): route through
+    the stored tstart grid, staged write, tag-prefixed move-in, envelope
+    recompute for touched buckets, JSON manifest commit."""
+    fs = FS.get_fs(idx.spark, idx.path)
+    staging = FS.join(idx.path, f"_staging_{build_id}")
+    fs.delete(staging)
+    keyed = rows.withColumn("tb", _version_tb_expr(idx, "tstart"))
+    keyed.write.partitionBy("tb").mode("overwrite").parquet(staging)
+    touched = sorted(
+        int(n.split("=", 1)[1])
+        for n in fs.listdir(staging) if n.startswith("tb=")
+    )
+    _move_staged_in(fs, staging, idx.data_path, "tb", build_id)
+    buckets = _recompute_buckets(idx, "tb", touched, _version_agg)
+    extra = {"kind": "versions", "t_lo": idx.t_lo, "width": idx.width,
+             "n_tbuckets": idx.n_tbuckets}
+    _commit_json(idx, "tb", buckets, extra)
+    idx.buckets = buckets
+    return idx
+
+
+def delete_versions(
+    idx: StoredVersionIndex, victims: DataFrame, id_col: str = "id",
+) -> StoredVersionIndex:
+    """Remove version entries by id (Index_DeleteMVRData analog):
+    anti-join rewrite of only the buckets holding victims."""
+    return _delete_generic(idx, victims, id_col, "tb", _version_agg, {
+        "kind": "versions", "t_lo": idx.t_lo, "width": idx.width,
+        "n_tbuckets": idx.n_tbuckets,
+    })
+
+
+def insert_moving(
+    idx: StoredMovingIndex, rows: DataFrame, build_id: str = "insert",
+) -> StoredMovingIndex:
+    """Append trajectory entries (Index_InsertTPData analog)."""
+    fs = FS.get_fs(idx.spark, idx.path)
+    staging = FS.join(idx.path, f"_staging_{build_id}")
+    fs.delete(staging)
+    keyed = rows.withColumn("mb", _moving_mb_expr(idx))
+    keyed.write.partitionBy("mb").mode("overwrite").parquet(staging)
+    touched = sorted(
+        int(n.split("=", 1)[1])
+        for n in fs.listdir(staging) if n.startswith("mb=")
+    )
+    _move_staged_in(fs, staging, idx.data_path, "mb", build_id)
+    buckets = _recompute_buckets(idx, "mb", touched, _moving_agg(idx.cols))
+    extra = {"kind": "moving", "cols": idx.cols,
+             "world": list(idx.world), "bits": idx.bits}
+    _commit_json(idx, "mb", buckets, extra)
+    idx.buckets = buckets
+    return idx
+
+
+def delete_moving(
+    idx: StoredMovingIndex, victims: DataFrame, id_col: str = "id",
+) -> StoredMovingIndex:
+    """Remove trajectory entries by id (Index_DeleteTPData analog)."""
+    return _delete_generic(idx, victims, id_col, "mb", _moving_agg(idx.cols), {
+        "kind": "moving", "cols": idx.cols,
+        "world": list(idx.world), "bits": idx.bits,
+    })
+
+
+def _delete_generic(idx, victims, id_col, part, agg_fn, extra):
+    spark = idx.spark
+    fs = FS.get_fs(spark, idx.path)
+    data = spark.read.parquet(idx.data_path)
+    vb = data.join(victims.select(id_col), on=id_col, how="left_semi")
+    touched = [
+        int(r[part]) for r in vb.select(part).distinct().collect()
+    ]
+    if not touched:
+        return idx
+    staging = FS.join(idx.path, "_staging_delete")
+    fs.delete(staging)
+    survivors = (
+        spark.read.option("basePath", idx.data_path).parquet(
+            *[FS.join(idx.data_path, f"{part}={b}") for b in touched]
+        ).join(victims.select(id_col), on=id_col, how="left_anti")
+    )
+    survivors.write.partitionBy(part).mode("overwrite").parquet(staging)
+    # swap: aside → move in; asides dropped after the JSON commit
+    for b in touched:
+        live = FS.join(idx.data_path, f"{part}={b}")
+        old = live + ".old"
+        fs.delete(old)
+        src = FS.join(staging, f"{part}={b}")
+        has_new = fs.isdir(src) and any(
+            f.endswith(".parquet") for f in fs.listdir(src)
+        )
+        if fs.isdir(live):
+            fs.rename(live, old)
+        if has_new:
+            fs.rename(src, live)
+    fs.delete(staging)
+    buckets = _recompute_buckets(idx, part, touched, agg_fn)
+    _commit_json(idx, part, buckets, extra)
+    for b in touched:
+        fs.delete(FS.join(idx.data_path, f"{part}={b}.old"))
+    idx.buckets = buckets
+    return idx
 
 
 def moving_range_query_stored(

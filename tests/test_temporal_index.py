@@ -103,3 +103,48 @@ def test_moving_region_index_matches_full_scan(spark, tmp_path_factory):
 def test_moving_index_horizon_guard(midx):
     with pytest.raises(ValueError, match="horizon"):
         ti.moving_range_query_stored(midx, *W, 0.0, 600.0, horizon=512.0)
+
+
+def test_version_index_insert_delete(spark, conf, versions, tmp_path_factory):
+    """MVR insert/delete variants: append + anti-join rewrite keep the
+    envelope manifest exact, so pruned queries equal the full scan on the
+    mutated data."""
+    path = str(tmp_path_factory.mktemp("tix") / "vmut")
+    head = versions.filter(F.col("id") % 4 != 0)
+    tail = versions.filter(F.col("id") % 4 == 0)
+    idx = ti.build_version_index(head, path, n_tbuckets=16)
+    ti.insert_versions(idx, tail, build_id="e1")
+    rel = SpatialRelation(versions, conf, max_extent=(td.MAX_EXTENT,) * 2)
+    want = {r.id for r in temporal.time_range_query(rel, *W, *TQ).collect()}
+    out, _ = ti.time_range_query_stored(idx, *W, *TQ)
+    assert {r.id for r in out.collect()} == want
+    # reload round-trips the grid + envelopes
+    idx2 = ti.load_version_index(spark, path)
+    out2, _ = ti.time_range_query_stored(idx2, *W, *TQ)
+    assert {r.id for r in out2.collect()} == want
+    # delete a slice of ids and re-check against the filtered full scan
+    victims = versions.filter(F.col("id") % 5 == 0).select("id").distinct()
+    ti.delete_versions(idx2, victims)
+    vset = {r.id for r in victims.collect()}
+    out3, _ = ti.time_range_query_stored(idx2, *W, *TQ)
+    assert {r.id for r in out3.collect()} == want - vset
+    total = sum(b["n_rows"] for b in idx2.buckets)
+    assert total == versions.join(
+        victims, on="id", how="left_anti"
+    ).count()
+
+
+def test_moving_index_insert_delete(spark, moving, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tix") / "mmut")
+    head = moving.filter(F.col("id") % 3 != 0)
+    tail = moving.filter(F.col("id") % 3 == 0)
+    idx = ti.build_moving_index(head, path, bits=3)
+    ti.insert_moving(idx, tail, build_id="e1")
+    want = {r.id for r in temporal.moving_range_query(moving, *W, *MQ).collect()}
+    out, _ = ti.moving_range_query_stored(idx, *W, *MQ)
+    assert {r.id for r in out.collect()} == want
+    victims = moving.filter(F.col("id") % 2 == 0).select("id").distinct()
+    ti.delete_moving(idx, victims)
+    vset = {r.id for r in victims.collect()}
+    out2, _ = ti.moving_range_query_stored(idx, *W, *MQ)
+    assert {r.id for r in out2.collect()} == want - vset
