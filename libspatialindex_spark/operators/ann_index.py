@@ -316,3 +316,108 @@ def lsh_near_dup_pairs_stored(
 def suggest_n_cells(n_rows: int) -> int:
     """~sqrt(N) inverted lists — the standard IVF sizing."""
     return max(4, int(math.sqrt(max(n_rows, 1))))
+
+
+# ------------------------------------------------- incremental mutations --
+#
+# insertData/deleteData parity for the similarity index: inserts compute
+# the stored columns for the batch under the PERSISTED planes/centroids
+# (the quantizer is frozen at build time — standard IVF practice; retrain
+# = rebuild) and append into the cell directories as tag-prefixed files;
+# deletes anti-join-rewrite only the cells holding victims.  Results of
+# every stored-path query remain exactly the in-flight operators' results
+# on the mutated vector set.
+
+
+def _index_cols(idx: StoredAnnIndex, df: DataFrame, vec_col: str):
+    from libspatialindex_spark.operators.similarity import _quant_cos_cols
+
+    planes_b = quantized_planes(idx.dim, idx.bands * idx.rows_per_band, idx.seed)
+    planes_s = quantized_planes(idx.dim, idx.n_planes, idx.seed)
+    qv, n2 = _quant_cos_cols(vec_col)
+    bkeys = band_keys_udf(planes_b, idx.bands, idx.rows_per_band)
+    sig1 = band_keys_udf(planes_s, 1, idx.n_planes)
+    cell = ivf_cell_udf(idx.cids, idx.C)
+    return df.select(
+        F.col(idx.id_col),
+        qv.alias("_q"),
+        n2.alias("_n2"),
+        F.element_at(sig1(F.col(vec_col)), 1).alias("_sig"),
+        bkeys(F.col(vec_col)).alias("_bk"),
+        cell(F.col(vec_col)).alias("_cell"),
+    )
+
+
+def insert_vectors(
+    idx: StoredAnnIndex,
+    rows: DataFrame,
+    vec_col: str = "embedding",
+    build_id: str = "insert",
+) -> StoredAnnIndex:
+    """Append vectors: stored columns computed under the frozen quantizer,
+    staged write partitioned by cell, tag-prefixed move-in."""
+    import re as _re
+
+    fs = FS.get_fs(idx.spark, idx.path)
+    staging = FS.join(idx.path, f"_staging_{_re.sub(r'[^A-Za-z0-9_.-]', '_', build_id)}")
+    fs.delete(staging)
+    out = _index_cols(idx, rows, vec_col)
+    out.sortWithinPartitions("_sig").write.partitionBy("_cell").mode(
+        "overwrite"
+    ).parquet(staging)
+    tag = _re.sub(r"[^A-Za-z0-9_.-]", "_", build_id)
+    for bname in fs.listdir(staging):
+        if not bname.startswith("_cell="):
+            continue
+        src_dir = FS.join(staging, bname)
+        dst_dir = FS.join(idx.data_path, bname)
+        fs.mkdirs(dst_dir)
+        for fname in fs.listdir(src_dir):
+            if fname.endswith(".parquet"):
+                fs.rename(
+                    FS.join(src_dir, fname),
+                    FS.join(dst_dir, f"{tag}-{fname}"),
+                )
+    fs.delete(staging)
+    return idx
+
+
+def delete_vectors(
+    idx: StoredAnnIndex, victims: DataFrame
+) -> StoredAnnIndex:
+    """Remove vectors by id: anti-join rewrite of only the inverted lists
+    holding victims (aside swap, dropped after the rewrite lands)."""
+    spark = idx.spark
+    fs = FS.get_fs(spark, idx.path)
+    data = spark.read.parquet(idx.data_path)
+    vcol = idx.id_col
+    vb = data.join(victims.select(vcol), on=vcol, how="left_semi")
+    touched = [int(r["_cell"]) for r in vb.select("_cell").distinct().collect()]
+    if not touched:
+        return idx
+    staging = FS.join(idx.path, "_staging_delete")
+    fs.delete(staging)
+    survivors = (
+        spark.read.option("basePath", idx.data_path).parquet(
+            *[FS.join(idx.data_path, f"_cell={c}") for c in touched]
+        ).join(victims.select(vcol), on=vcol, how="left_anti")
+    )
+    survivors.sortWithinPartitions("_sig").write.partitionBy("_cell").mode(
+        "overwrite"
+    ).parquet(staging)
+    for c in touched:
+        live = FS.join(idx.data_path, f"_cell={c}")
+        old = live + ".old"
+        fs.delete(old)
+        src = FS.join(staging, f"_cell={c}")
+        has_new = fs.isdir(src) and any(
+            f.endswith(".parquet") for f in fs.listdir(src)
+        )
+        if fs.isdir(live):
+            fs.rename(live, old)
+        if has_new:
+            fs.rename(src, live)
+    fs.delete(staging)
+    for c in touched:
+        fs.delete(FS.join(idx.data_path, f"_cell={c}.old"))
+    return idx

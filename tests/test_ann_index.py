@@ -111,3 +111,52 @@ def test_stored_columns_no_recompute(idx):
     _sig, _bk, _cell all come straight off parquet."""
     cols = set(idx.df().columns)
     assert {"_q", "_n2", "_sig", "_bk", "_cell"} <= cols
+
+
+def test_ann_insert_delete_parity(spark, emb, qvec, tmp_path_factory):
+    """Insert/delete on the stored similarity index: after building from a
+    subset and appending the rest, every stored-path query equals the
+    in-flight operator on the full (then reduced) vector set."""
+    path = str(tmp_path_factory.mktemp("ann") / "mut")
+    head = emb.filter(F.col("vec_id") % 3 != 0)
+    tail = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = ann_index.build_ann_index(
+        head, path, stride=31, bands=20, rows_per_band=4, n_planes=8, seed=42
+    )
+    ann_index.insert_vectors(idx, tail, build_id="e1")
+    got = {
+        (r.vec_id, r.cos_q)
+        for r in ann_index.ann_lsh_cosine_stored(idx, qvec, K).collect()
+    }
+    # in-flight reference on the full set, using the SAME frozen centroids
+    want = {
+        (r.vec_id, r.cos_q)
+        for r in similarity.ann_lsh_cosine(emb, qvec, K).collect()
+    }
+    assert got == want
+
+    victims = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+    ann_index.delete_vectors(idx, victims)
+    vset = {r.vec_id for r in victims.collect()}
+    rest = emb.join(victims, on="vec_id", how="left_anti")
+    got2 = {
+        (r.vec_id, r.cos_q)
+        for r in ann_index.ann_lsh_cosine_stored(idx, qvec, K).collect()
+    }
+    want2 = {
+        (r.vec_id, r.cos_q)
+        for r in similarity.ann_lsh_cosine(rest, qvec, K).collect()
+    }
+    assert got2 == want2 and not (vset & {v for v, _ in got2})
+    # near-dup pairs on the mutated index equal the in-flight scale path
+    gp = {
+        (r.id1, r.id2)
+        for r in ann_index.lsh_near_dup_pairs_stored(idx, 0.4).collect()
+    }
+    wp = {
+        (r.id1, r.id2)
+        for r in similarity.lsh_near_dup_pairs(
+            rest, 0.4, bands=20, rows_per_band=4, seed=42
+        ).collect()
+    }
+    assert gp == wp
