@@ -204,6 +204,7 @@ def connected_components(
     a_col: str = "id1",
     b_col: str = "id2",
     max_iter: int = 20,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Dedup GROUPS from near-dup pairs: connected components by iterative
     min-label propagation (the standard distributed CC — each round every
@@ -220,7 +221,42 @@ def connected_components(
     labeling silently splits components, corrupting dedup groups — a loud
     failure is the only safe exit (raise the bound for long chain-shaped
     duplicate graphs).
+
+    **Two-tier plan**: near-dup pair sets are usually orders of magnitude
+    smaller than the corpus (they are the verified duplicates).  Below
+    ``driver_threshold`` edges the graph is broadcast-scale and the
+    optimal plan is a driver-side union-find — O(E·α) in one collect, no
+    iteration, exact — the same class of driver-side metadata work as the
+    manifest descent.  Above it, the distributed min-label propagation
+    runs (rounds = graph diameter).  Set ``driver_threshold=0`` to force
+    the distributed path.
     """
+    if driver_threshold > 0:
+        head = pairs.select(a_col, b_col).limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            parent: dict = {}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]  # path halving
+                    x = parent[x]
+                return x
+
+            for r in head:
+                a, b = r[0], r[1]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by smaller label → component id = min id
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            out_rows = [(n, find(n)) for n in parent]
+            return pairs.sparkSession.createDataFrame(
+                out_rows, "doc_id long, component_id long"
+            )
+
     edges = (
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
         .union(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))

@@ -271,12 +271,18 @@ def test_connected_components_chain_and_clusters(spark):
          (20, 21)],                           # pair -> comp 20
         ["id1", "id2"],
     )
-    got = {
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+            10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # both tiers must agree: driver union-find and distributed propagation
+    got_drv = {
         r.doc_id: r.component_id
         for r in dedup.connected_components(pairs).collect()
     }
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
-                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    got_dist = {
+        r.doc_id: r.component_id
+        for r in dedup.connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert got_drv == want and got_dist == want
 
 
 def test_dedup_groups_end_to_end(docs, docs_pdf):
@@ -350,10 +356,12 @@ def test_connected_components_nonconvergence_raises(spark):
     chain = [(i, i + 1) for i in range(1, 10)]  # diameter 9
     pairs = spark.createDataFrame(chain, ["id1", "id2"])
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iter=2)
+        dedup.connected_components(pairs, max_iter=2, driver_threshold=0)
     # and a sufficient bound still converges to one component
     got = {
         r.doc_id: r.component_id
-        for r in dedup.connected_components(pairs, max_iter=12).collect()
+        for r in dedup.connected_components(
+            pairs, max_iter=12, driver_threshold=0
+        ).collect()
     }
     assert set(got.values()) == {1}
