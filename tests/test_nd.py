@@ -396,3 +396,46 @@ def test_3d_knn_join_vs_bruteforce(spark, rel3, r3_pdf):
         kth = np.sort(d2)[9]
         want = set(zip(p.id[d2 <= kth], d2[d2 <= kth]))
         assert got[qid] == want, qid
+
+
+def test_3d_mixed_ops_replay(spark, r3, r3_pdf, tmp_path):
+    """test2-style interleaved insert/delete/query replay at d=3:
+    every epoch's range query diffs against the exhaustive live set."""
+    from collections import Counter
+
+    from libspatialindex_spark.operators import mutations
+
+    conf3 = nd.NDConfig(axes=AX3, grid_bits=10, target_partitions=8)
+    all_rows = r3_pdf
+    live = all_rows[all_rows.id % 4 == 0]
+    idx = nd.build_index_nd(
+        r3.filter(F.col("id") % 4 == 0), str(tmp_path / "mix3"), conf3, BOX3,
+    )
+    import pandas as pd
+
+    for epoch in range(1, 4):
+        batch = all_rows[all_rows.id % 4 == epoch]
+        mutations.insert_batch(
+            idx, r3.filter(F.col("id") % 4 == epoch),
+            build_id=f"e{epoch}", idempotent=True,
+        )
+        live = pd.concat([live, batch])
+        victims = sorted(set(live.id[live.id % 6 == epoch]))
+        if victims:
+            mutations.delete_rows(
+                idx, spark.createDataFrame([(i,) for i in victims], ["id"])
+            )
+            live = live[~live.id.isin(victims)]
+        got = Counter(
+            r.id
+            for r in nd.intersects_query_nd(
+                idx.relation(), W3_LO, W3_HI
+            ).collect()
+        )
+        m = ~(
+            (live.xmin > W3_HI[0]) | (live.xmax < W3_LO[0])
+            | (live.ymin > W3_HI[1]) | (live.ymax < W3_LO[1])
+            | (live.wmin > W3_HI[2]) | (live.wmax < W3_LO[2])
+        )
+        assert got == Counter(live.id[m].tolist()), epoch
+        assert idx.validate(), epoch
