@@ -94,3 +94,33 @@ def test_packed_local_index_matches_exhaustive(fixture, stored, oracle_pairs):
         ).collect()
     }
     assert got == oracle_pairs
+
+
+def test_self_join_matches_exhaustive(spark, fixture, stored):
+    """test4 semantics over the reference's own entries: window-less
+    self-join — every ordered pair of distinct entries whose MBRs
+    intersect (closed intervals, both orders), golden-diffed against the
+    Exhaustive.cc double loop (test/rtree/Exhaustive.cc:190-210)."""
+    from libspatialindex_spark.operators import spatial_join
+
+    ents, _ = fixture
+    rel = stored.relation()
+    got = {
+        (r.id1, r.id2)
+        for r in spatial_join.self_join_query(
+            rel, 0.0, 0.0, 1.25, 1.25
+        ).collect()
+    }
+    ex = ents[["id", "xmin", "ymin", "xmax", "ymax"]].to_numpy()
+    ids = ex[:, 0].astype(np.int64)
+    want = set()
+    for i in range(len(ex)):
+        hit = ~(
+            (ex[:, 1] > ex[i, 3]) | (ex[:, 3] < ex[i, 1])
+            | (ex[:, 2] > ex[i, 4]) | (ex[:, 4] < ex[i, 2])
+        )
+        hit[i] = False
+        for j in np.nonzero(hit)[0]:
+            want.add((int(ids[i]), int(ids[j])))
+    assert got == want
+    assert len(got) > 10000  # non-trivial pair count, both orders
