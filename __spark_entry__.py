@@ -562,6 +562,20 @@ def q44_embed_near_dup_lsh(spark, sf_dir):
     return ann_index.lsh_near_dup_pairs_stored(idx, threshold=0.4)
 
 
+def q52_embed_dedup_groups(spark, sf_dir):
+    """Embedding near-dup GROUPS: the stored-index banded sign-LSH pairs
+    (q44's scale path) → connected components → (vec_id, component_id) —
+    the end-to-end keep-one-per-cluster dedup for an embedding corpus.
+    Oracle = recursive transitive closure over the q44 oracle pair set."""
+    from libspatialindex_spark.operators import ann_index
+
+    idx = _ann_index(spark, sf_dir)
+    pairs = ann_index.lsh_near_dup_pairs_stored(idx, threshold=0.4)
+    return dedup.connected_components(pairs).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+
+
 def q50_event_hourly_rollup(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return events.hourly_rollup(ev)
@@ -617,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_ann_ivf": q45_ann_ivf,
         "q43_embed_near_dup": q43_embed_near_dup,
         "q44_embed_near_dup_lsh": q44_embed_near_dup_lsh,
+        "q52_embed_dedup_groups": q52_embed_dedup_groups,
         "q50_event_hourly_rollup": q50_event_hourly_rollup,
         "q51_user_sessions": q51_user_sessions,
     }
@@ -1343,6 +1358,21 @@ def _oracle_sql_base() -> dict[str, str]:
         "q41_ann_cosine": _ann_cosine_oracle(),
         "q42_ann_lsh": _ann_lsh_oracle(),
         "q44_embed_near_dup_lsh": _lsh_near_dup_oracle(),
+        "q52_embed_dedup_groups": f"""
+            WITH RECURSIVE p AS ({_lsh_near_dup_oracle().strip()}),
+            edges AS (
+              SELECT id1 AS a, id2 AS b FROM p
+              UNION
+              SELECT id2 AS a, id1 AS b FROM p
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT a AS vec_id, LEAST(a, MIN(b)) AS component_id
+            FROM reach GROUP BY a
+        """,
         "q45_ann_ivf": _ann_ivf_oracle(),
         "q50_event_hourly_rollup": """
             SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hour_epoch,
