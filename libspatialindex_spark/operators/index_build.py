@@ -361,20 +361,18 @@ class StoredRelation(SpatialRelation):
                 return radius
         return None  # fewer than k rows in the whole index
 
-    def pruned_for_box(
+    def _box_plan(
         self, qxmin: float, qymin: float, qxmax: float, qymax: float
-    ) -> DataFrame:
-        df = self.df
+    ) -> tuple[list | None, list[tuple[int, int]], object, list | None]:
+        """Shared driver-side selection for a query window: (hit buckets
+        or None = no bucket metadata, coalesced z ranges, z predicate,
+        file subset or None = no file-level re-plan)."""
         hit: list | None = None
         if self.bucket_boxes:
             hit = [
                 b for b, x0, y0, x1, y1, *_ in self.bucket_boxes
                 if not (x0 > qxmax or x1 < qxmin or y0 > qymax or y1 < qymin)
             ]
-            if len(hit) == 0:
-                return df.filter(F.lit(False))
-            if len(hit) < len(self.bucket_boxes):
-                df = df.filter(F.col("bucket").isin(hit))
         pred = None
         ranges: list[tuple[int, int]] = []
         if self.bucket_shift is not None and self.max_extent is not None:
@@ -384,27 +382,65 @@ class StoredRelation(SpatialRelation):
             cov = z_cover(qxmin, qymin, qxmax, qymax, self.conf, expand=expand)
             ranges = cov.coalesced(max_ranges=16)
             pred = self.z_range_predicate(cov)
-        # Third level: file-zone-map refinement — re-plan the scan over
-        # only the files whose z range meets the cover (and whose bucket
-        # survived the MBR prune).
-        if self.file_boxes and ranges and self.data_path is not None:
+        files: list | None = None
+        if (
+            self.file_boxes and ranges and self.data_path is not None
+            and (hit is None or hit)
+        ):
             hset = set(hit) if hit is not None else None
-            files = [
+            cand = [
                 p
                 for p, b, z0, z1, *_ in self.file_boxes
                 if (hset is None or b in hset)
                 and any(not (z0 > rhi or z1 < rlo) for rlo, rhi in ranges)
             ]
+            if len(cand) < len(self.file_boxes):
+                files = cand
+        return hit, ranges, pred, files
+
+    def pruned_for_box(
+        self, qxmin: float, qymin: float, qxmax: float, qymax: float
+    ) -> DataFrame:
+        hit, _ranges, pred, files = self._box_plan(qxmin, qymin, qxmax, qymax)
+        df = self.df
+        if hit is not None:
+            if len(hit) == 0:
+                return df.filter(F.lit(False))
+            if len(hit) < len(self.bucket_boxes):
+                df = df.filter(F.col("bucket").isin(hit))
+        # Third level: file-zone-map refinement — re-plan the scan over
+        # only the files whose z range meets the cover (and whose bucket
+        # survived the MBR prune).
+        if files is not None:
             if not files:
                 return df.filter(F.lit(False))
-            if len(files) < len(self.file_boxes):
-                sub = self.df.sparkSession.read.option(
-                    "basePath", self.data_path
-                ).parquet(*files)
-                return sub.filter(pred) if pred is not None else sub
+            sub = self.df.sparkSession.read.option(
+                "basePath", self.data_path
+            ).parquet(*files)
+            return sub.filter(pred) if pred is not None else sub
         if pred is not None:
             df = df.filter(pred)
         return df
+
+    def files_planned_for_box(
+        self, qxmin: float, qymin: float, qxmax: float, qymax: float
+    ) -> int:
+        """Files the pruned plan can touch AFTER partition pruning.
+        ``pruned.inputFiles()`` ignores the ``bucket IN`` partition filter
+        (it lists the whole relation — ADVICE r3), so this derives the
+        count from the same driver-side selection ``pruned_for_box``
+        executes: the file-map subset when that re-plan fires, else the
+        listing restricted to surviving bucket directories."""
+        hit, _ranges, _pred, files = self._box_plan(qxmin, qymin, qxmax, qymax)
+        if hit is not None and len(hit) == 0:
+            return 0
+        if files is not None:
+            return len(files)
+        all_files = self.df.inputFiles()
+        if hit is not None and len(hit) < len(self.bucket_boxes):
+            tags = tuple(f"/bucket={b}/" for b in hit)
+            return sum(1 for p in all_files if any(t in p for t in tags))
+        return len(all_files)
 
 
 def build_index(
@@ -503,7 +539,15 @@ def build_index(
     # rows land clustered so parquet row-group zone maps on z are tight.
     writer = (
         keyed.repartitionByRange(conf.target_partitions, "z")
-        .sortWithinPartitions("z")
+        # sort by (bucket, z), not z alone: the dynamic-partition writer
+        # requires ordering by the partition column and V1Writes inserts a
+        # Sort(bucket) when the child doesn't already provide it — after
+        # which EliminateSorts DROPS our z sort as redundant, silently
+        # breaking the z-disjoint-files premise of the file map.  A
+        # (bucket, z) sort satisfies the writer's requirement, so no sort
+        # is inserted and in-file z order survives (for zprefix, bucket is
+        # a z prefix, so this is the same order).
+        .sortWithinPartitions("bucket", "z")
         .write.partitionBy("bucket")
         .mode("append")
     )

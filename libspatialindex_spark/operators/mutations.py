@@ -162,7 +162,10 @@ def insert_batch(
     keyed = idx.keyed(rows, box)
     (
         keyed.repartitionByRange(idx.conf.target_partitions, "z")
-        .sortWithinPartitions("z")
+        # (bucket, z): keeps the writer from inserting its own partition
+        # sort, which would let EliminateSorts drop the z order (see
+        # index_build.bulk_load note)
+        .sortWithinPartitions("bucket", "z")
         .write.partitionBy("bucket")
         .mode("overwrite")
         .parquet(staging)

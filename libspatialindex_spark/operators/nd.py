@@ -572,7 +572,9 @@ def build_index_nd(
     data_path = FS.join(path, "data")
     (
         keyed.repartitionByRange(conf.target_partitions, "z")
-        .sortWithinPartitions("z")
+        # (bucket, z) — see index_build note: a bare z sort is eliminated
+        # in favor of the writer's inserted partition sort
+        .sortWithinPartitions("bucket", "z")
         .write.partitionBy("bucket")
         .mode("overwrite")
         .parquet(data_path)

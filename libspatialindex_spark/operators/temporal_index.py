@@ -62,6 +62,18 @@ class StoredVersionIndex:
     t_lo: float = 0.0
     width: float = 1.0
     n_tbuckets: int = 16
+    # persisted column spec (like the moving index's `cols`): stored
+    # queries/mutations must use the BUILD-time names, not defaults
+    cols: dict | None = None
+
+    def colspec(self) -> tuple[str, str, BoxCols]:
+        c = self.cols or {}
+        b = c.get("box") or ["xmin", "ymin", "xmax", "ymax"]
+        return (
+            c.get("tstart", "tstart"),
+            c.get("tend", "tend"),
+            BoxCols(xmin=b[0], ymin=b[1], xmax=b[2], ymax=b[3]),
+        )
 
     @property
     def data_path(self) -> str:
@@ -128,7 +140,9 @@ def build_version_index(
         fs.delete(path)
     fs.mkdirs(path)
     keyed = versions.withColumn("tb", tb)
-    keyed.repartition("tb").sortWithinPartitions(tstart).write.partitionBy(
+    # ("tb", tstart): a bare tstart sort would be replaced by the writer's
+    # inserted Sort(tb) (EliminateSorts), losing in-file tstart clustering
+    keyed.repartition("tb").sortWithinPartitions("tb", tstart).write.partitionBy(
         "tb"
     ).mode("overwrite").parquet(data_path)
 
@@ -155,16 +169,21 @@ def build_version_index(
         }
         for r in rows
     ]
+    vcols = {
+        "tstart": tstart, "tend": tend,
+        "box": [box.xmin, box.ymin, box.xmax, box.ymax],
+    }
     fs.write_text(
         FS.join(path, "temporal.json"),
         json.dumps({
             "kind": "versions", "buckets": buckets,
             "t_lo": t_lo, "width": width, "n_tbuckets": n_tbuckets,
+            "cols": vcols,
         }),
     )
     return StoredVersionIndex(
         spark=spark, path=path, buckets=buckets,
-        t_lo=t_lo, width=width, n_tbuckets=n_tbuckets,
+        t_lo=t_lo, width=width, n_tbuckets=n_tbuckets, cols=vcols,
     )
 
 
@@ -173,11 +192,13 @@ def load_version_index(spark: SparkSession, path: str) -> StoredVersionIndex:
     mpath = FS.join(path, "temporal.json")
     if not fs.exists(mpath):
         raise FileNotFoundError(f"no temporal.json under {path}")
+    _check_no_asides(fs, path, "tb")
     d = json.loads(fs.read_text(mpath))
     return StoredVersionIndex(
         spark=spark, path=path, buckets=d["buckets"],
         t_lo=float(d.get("t_lo", 0.0)), width=float(d.get("width", 1.0)),
         n_tbuckets=int(d.get("n_tbuckets", len(d["buckets"]) or 16)),
+        cols=d.get("cols"),
     )
 
 
@@ -202,9 +223,9 @@ def time_range_query_stored(
     if not hit:
         return df.filter(F.lit(False)), io
     pruned = df.filter(F.col("tb").isin(hit))
-    b = BoxCols()
+    tstart, tend, b = idx.colspec()
     out = pruned.filter(
-        temporal.interval_overlaps(F.col("tstart"), F.col("tend"), qt0, qt1)
+        temporal.interval_overlaps(F.col(tstart), F.col(tend), qt0, qt1)
         & G.intersects(
             F.col(b.xmin), F.col(b.ymin), F.col(b.xmax), F.col(b.ymax),
             qxmin, qymin, qxmax, qymax,
@@ -240,16 +261,25 @@ class StoredMovingIndex:
     ) -> list[int]:
         """TPR node visit: expand each bucket's t=0 box envelope by its
         velocity envelope over [t0, t1]; prune buckets whose expanded box
-        misses the window.  ``lo + v·t`` over t ∈ [t0, t1] with signed v
-        reaches min(v·t0, v·t1) below and max(v·t0, v·t1) above —
-        conservative (a bucket may survive without a common-t hit) but
-        never lossy."""
+        misses the window.  An entry's edge velocity lies anywhere in
+        [vlo, vhi], so ``v·t`` over v ∈ [vlo, vhi], t ∈ [t0, t1] reaches
+        the min/max of all four corner products — taking only the
+        vlo-products below and vhi-products above is valid solely for
+        t0, t1 ≥ 0 and silently over-prunes past-time queries (t0 < 0 is
+        legal when horizon is None).  Conservative (a bucket may survive
+        without a common-t hit) but never lossy."""
         out = []
         for b in self.buckets:
-            xlo = b["xlo"] + min(b["vxlo"] * t0, b["vxlo"] * t1)
-            xhi = b["xhi"] + max(b["vxhi"] * t0, b["vxhi"] * t1)
-            ylo = b["ylo"] + min(b["vylo"] * t0, b["vylo"] * t1)
-            yhi = b["yhi"] + max(b["vyhi"] * t0, b["vyhi"] * t1)
+            def _lohi(vlo, vhi):
+                prods = (vlo * t0, vlo * t1, vhi * t0, vhi * t1)
+                return min(prods), max(prods)
+
+            dxlo, dxhi = _lohi(b["vxlo"], b["vxhi"])
+            dylo, dyhi = _lohi(b["vylo"], b["vyhi"])
+            xlo = b["xlo"] + dxlo
+            xhi = b["xhi"] + dxhi
+            ylo = b["ylo"] + dylo
+            yhi = b["yhi"] + dyhi
             if not (xlo > qxmax or xhi < qxmin or ylo > qymax or yhi < qymin):
                 out.append(b["mb"])
         return out
@@ -344,11 +374,68 @@ def build_moving_index(
     )
 
 
+def _check_no_asides(fs, path: str, part: str) -> None:
+    from libspatialindex_spark.operators.ann_index import _aside_dirs
+
+    asides = _aside_dirs(fs, FS.join(path, "data"), part)
+    if asides:
+        raise RuntimeError(
+            f"interrupted delete under {path} (aside dirs {asides[:3]}…) — "
+            "run recover_temporal_index() before reading"
+        )
+
+
+def recover_temporal_index(spark: SparkSession, path: str):
+    """Sweep delete asides for either temporal layout (version or moving
+    — dispatched from the persisted manifest kind) and re-certify the
+    touched buckets' envelopes against the actual data.  Roll rule as
+    :func:`ann_index.recover_ann_index`: live missing → roll the aside
+    back (pre-delete); live present → swap landed, drop the aside.  The
+    envelope recompute keeps pruning lossless whichever way each bucket
+    rolled; an interrupted delete should be re-issued (idempotent)."""
+    from libspatialindex_spark.operators.ann_index import _aside_dirs
+
+    fs = FS.get_fs(spark, path)
+    mpath = FS.join(path, "temporal.json")
+    if not fs.exists(mpath):
+        raise FileNotFoundError(f"no temporal.json under {path}")
+    kind = json.loads(fs.read_text(mpath)).get("kind", "versions")
+    part = "tb" if kind == "versions" else "mb"
+    data_path = FS.join(path, "data")
+    touched = []
+    for name in _aside_dirs(fs, data_path, part):
+        old = FS.join(data_path, name)
+        live = FS.join(data_path, name[: -len(".old")])
+        touched.append(int(name[len(part) + 1 : -len(".old")]))
+        if fs.isdir(live):
+            fs.delete(old)
+        else:
+            fs.rename(old, live)
+    if kind == "versions":
+        idx = load_version_index(spark, path)
+        if touched:
+            idx.buckets = _recompute_buckets(idx, part, touched, _version_agg(idx))
+            _commit_json(idx, part, idx.buckets, {
+                "kind": "versions", "t_lo": idx.t_lo, "width": idx.width,
+                "n_tbuckets": idx.n_tbuckets, "cols": idx.cols,
+            })
+    else:
+        idx = load_moving_index(spark, path)
+        if touched:
+            idx.buckets = _recompute_buckets(idx, part, touched, _moving_agg(idx.cols))
+            _commit_json(idx, part, idx.buckets, {
+                "kind": "moving", "cols": idx.cols,
+                "world": list(idx.world), "bits": idx.bits,
+            })
+    return idx
+
+
 def load_moving_index(spark: SparkSession, path: str) -> StoredMovingIndex:
     fs = FS.get_fs(spark, path)
     mpath = FS.join(path, "temporal.json")
     if not fs.exists(mpath):
         raise FileNotFoundError(f"no temporal.json under {path}")
+    _check_no_asides(fs, path, "mb")
     d = json.loads(fs.read_text(mpath))
     return StoredMovingIndex(
         spark=spark, path=path, buckets=d["buckets"], cols=d["cols"],
@@ -432,24 +519,28 @@ def _recompute_buckets(idx, part: str, touched: list[int], agg_fn) -> list[dict]
     return keep + fresh
 
 
-def _version_agg(df: DataFrame) -> list[dict]:
-    b = BoxCols()
-    rows = (
-        df.groupBy(F.col("tb").cast("long").alias("tb"))
-        .agg(
-            F.min("tstart").alias("ts_min"), F.max("tend").alias("te_max"),
-            F.min(b.xmin).alias("xmin"), F.min(b.ymin).alias("ymin"),
-            F.max(b.xmax).alias("xmax"), F.max(b.ymax).alias("ymax"),
-            F.count(F.lit(1)).alias("n_rows"),
-        ).collect()
-    )
-    return [
-        {"tb": int(r["tb"]), "ts_min": float(r["ts_min"]),
-         "te_max": float(r["te_max"]), "xmin": float(r["xmin"]),
-         "ymin": float(r["ymin"]), "xmax": float(r["xmax"]),
-         "ymax": float(r["ymax"]), "n_rows": int(r["n_rows"])}
-        for r in rows
-    ]
+def _version_agg(idx: StoredVersionIndex):
+    tstart, tend, b = idx.colspec()
+
+    def agg(df: DataFrame) -> list[dict]:
+        rows = (
+            df.groupBy(F.col("tb").cast("long").alias("tb"))
+            .agg(
+                F.min(tstart).alias("ts_min"), F.max(tend).alias("te_max"),
+                F.min(b.xmin).alias("xmin"), F.min(b.ymin).alias("ymin"),
+                F.max(b.xmax).alias("xmax"), F.max(b.ymax).alias("ymax"),
+                F.count(F.lit(1)).alias("n_rows"),
+            ).collect()
+        )
+        return [
+            {"tb": int(r["tb"]), "ts_min": float(r["ts_min"]),
+             "te_max": float(r["te_max"]), "xmin": float(r["xmin"]),
+             "ymin": float(r["ymin"]), "xmax": float(r["xmax"]),
+             "ymax": float(r["ymax"]), "n_rows": int(r["n_rows"])}
+            for r in rows
+        ]
+
+    return agg
 
 
 def _moving_agg(cols: dict):
@@ -493,16 +584,17 @@ def insert_versions(
     fs = FS.get_fs(idx.spark, idx.path)
     staging = FS.join(idx.path, f"_staging_{build_id}")
     fs.delete(staging)
-    keyed = rows.withColumn("tb", _version_tb_expr(idx, "tstart"))
+    tstart, _, _ = idx.colspec()
+    keyed = rows.withColumn("tb", _version_tb_expr(idx, tstart))
     keyed.write.partitionBy("tb").mode("overwrite").parquet(staging)
     touched = sorted(
         int(n.split("=", 1)[1])
         for n in fs.listdir(staging) if n.startswith("tb=")
     )
     _move_staged_in(fs, staging, idx.data_path, "tb", build_id)
-    buckets = _recompute_buckets(idx, "tb", touched, _version_agg)
+    buckets = _recompute_buckets(idx, "tb", touched, _version_agg(idx))
     extra = {"kind": "versions", "t_lo": idx.t_lo, "width": idx.width,
-             "n_tbuckets": idx.n_tbuckets}
+             "n_tbuckets": idx.n_tbuckets, "cols": idx.cols}
     _commit_json(idx, "tb", buckets, extra)
     idx.buckets = buckets
     return idx
@@ -513,9 +605,9 @@ def delete_versions(
 ) -> StoredVersionIndex:
     """Remove version entries by id (Index_DeleteMVRData analog):
     anti-join rewrite of only the buckets holding victims."""
-    return _delete_generic(idx, victims, id_col, "tb", _version_agg, {
+    return _delete_generic(idx, victims, id_col, "tb", _version_agg(idx), {
         "kind": "versions", "t_lo": idx.t_lo, "width": idx.width,
-        "n_tbuckets": idx.n_tbuckets,
+        "n_tbuckets": idx.n_tbuckets, "cols": idx.cols,
     })
 
 

@@ -102,12 +102,21 @@ def observed_query(rel, qxmin, qymin, qxmax, qymax, predicate="intersects"):
     ]
 
     def io() -> dict:
+        # files the pruned plan can touch AFTER partition pruning; stored
+        # relations derive it from the same driver-side selection the plan
+        # uses (inputFiles() on the filtered frame would list the whole
+        # relation — the partition filter is applied at execution, not in
+        # the relation's file listing)
+        fp = getattr(rel, "files_planned_for_box", None)
+        files_planned = (
+            fp(qxmin, qymin, qxmax, qymax)
+            if fp is not None
+            else len(pruned.inputFiles())
+        )
         return {
             "buckets_total": len(boxes) or None,
             "buckets_scanned": len(hit) if boxes else None,
-            # files the pruned plan can touch (the file-zone-map refinement
-            # re-plans the scan over a file subset, so this shrinks with it)
-            "files_planned": len(pruned.inputFiles()),
+            "files_planned": files_planned,
             "rows_scanned": scan_obs.get["rows_scanned"],
             "rows_returned": out_obs.get["rows_returned"],
         }

@@ -160,3 +160,105 @@ def test_ann_insert_delete_parity(spark, emb, qvec, tmp_path_factory):
         ).collect()
     }
     assert gp == wp
+
+
+def test_ann_recover_after_interrupted_delete(spark, emb, tmp_path_factory):
+    """ADVICE r3: ``_cell=N.old`` asides from an interrupted delete must
+    refuse to load (string-degraded partition column, double-counted rows)
+    and recover_ann_index must roll them (back when the swap tore, forward
+    when only cleanup was lost)."""
+    import os
+    import shutil
+
+    path = str(tmp_path_factory.mktemp("ann") / "rec")
+    idx = ann_index.build_ann_index(
+        emb, path, stride=31, bands=20, rows_per_band=4, n_planes=8, seed=42
+    )
+    n0 = idx.df().count()
+    data = f"{path}/data"
+    dirs = sorted(d for d in os.listdir(data) if d.startswith("_cell="))
+    shutil.move(f"{data}/{dirs[0]}", f"{data}/{dirs[0]}.old")  # torn swap
+    shutil.copytree(f"{data}/{dirs[1]}", f"{data}/{dirs[1]}.old")  # lost cleanup
+    with pytest.raises(RuntimeError, match="recover_ann_index"):
+        ann_index.load_ann_index(spark, path)
+    rec = ann_index.recover_ann_index(spark, path)
+    assert rec.df().count() == n0  # no double count, no lost cell
+    # partition discovery sees only integer cell values again
+    assert rec.df().schema["_cell"].dataType.typeName() != "string"
+    assert not any(d.endswith(".old") for d in os.listdir(data))
+    # idempotent
+    rec2 = ann_index.recover_ann_index(spark, path)
+    assert rec2.df().count() == n0
+
+
+def test_one_file_per_inverted_list(idx):
+    """VERDICT r3 #1: the build must not explode into npart × n_cells tiny
+    files — each cell directory holds exactly one file (hot cells may
+    split via maxRecordsPerFile; none do at this size)."""
+    import glob
+    import os
+
+    cells = glob.glob(idx.data_path + "/_cell=*")
+    assert cells
+    for c in cells:
+        files = [f for f in os.listdir(c) if f.endswith(".parquet")]
+        assert len(files) == 1, (c, files)
+    total = len(glob.glob(idx.data_path + "/_cell=*/*.parquet"))
+    assert total == len(cells)  # ≈ n_cells, not npart × n_cells
+
+
+def test_cell_files_sig_sorted_within(idx):
+    """The (_cell, _sig) write sort must survive into the files (the
+    EliminateSorts hazard) so row-group zone maps on _sig are tight."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(idx.data_path + "/_cell=*/*.parquet")[:10]:
+        s = pq.read_table(f, columns=["_sig"])["_sig"].to_numpy()
+        assert (np.diff(s) >= 0).all(), f
+
+
+def test_sig_projection_disjoint_and_selective(idx, qvec):
+    """The sig-sorted projection: files sig-disjoint, and a multiprobe
+    query's driver-side file selection opens a strict subset."""
+    sm = idx.sig_map()
+    assert sm and len(sm) > 1
+    spans = sorted((e["sig_min"], e["sig_max"]) for e in sm)
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 <= b0  # range-partitioned + sorted → disjoint
+    probes = idx.probe_sigs(qvec, probe_hamming=1)  # 9 of 256 sig values
+    files, total = idx.sig_files_for(probes)
+    assert 0 < len(files) < total
+
+
+def test_lsh_stored_fallback_after_mutation(spark, emb, qvec, tmp_path_factory):
+    """Mutations invalidate the projection (stale = wrong answers); the
+    stored LSH query falls back to the cell layout and stays correct;
+    refresh_sig_projection restores the fast path with equal results."""
+    path = str(tmp_path_factory.mktemp("ann") / "proj")
+    head = emb.filter(F.col("vec_id") % 3 != 0)
+    tail = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = ann_index.build_ann_index(
+        head, path, stride=31, bands=20, rows_per_band=4, n_planes=8, seed=42
+    )
+    assert idx.sig_map() is not None
+    ann_index.insert_vectors(idx, tail, build_id="e1")
+    assert idx.sig_map() is None  # invalidated
+    want = {
+        (r.vec_id, r.cos_q)
+        for r in similarity.ann_lsh_cosine(emb, qvec, K).collect()
+    }
+    got = {
+        (r.vec_id, r.cos_q)
+        for r in ann_index.ann_lsh_cosine_stored(idx, qvec, K).collect()
+    }
+    assert got == want  # fallback path
+    ann_index.refresh_sig_projection(idx)
+    assert idx.sig_map() is not None
+    got2 = {
+        (r.vec_id, r.cos_q)
+        for r in ann_index.ann_lsh_cosine_stored(idx, qvec, K).collect()
+    }
+    assert got2 == want  # projection path

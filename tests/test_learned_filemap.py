@@ -55,15 +55,17 @@ def test_file_pruned_query_matches_and_scans_less(spark, conf8, fidx):
     got = {r.id for r in range_query.intersects_query(rel, *W).collect()}
     assert got == want
 
-    # IO accounting: the file-refined plan touches strictly fewer files
-    # (and therefore bounds strictly fewer scannable rows) than the
-    # bucket-only plan — the prune factor the ZM refinement buys
+    # IO accounting: the file-refined plan touches no more files than the
+    # bucket-only plan (here the hit buckets are single-file, so equality —
+    # test_file_refinement_prunes_within_bucket proves the strict case;
+    # before the r4 files_planned fix the bucket-only count was inflated to
+    # the full listing, which made this look like a strict win)
     out_f, io_f = stats.observed_intersects_query(rel, *W)
     out_f.count()
     out_b, io_b = stats.observed_intersects_query(rel_b, *W)
     out_b.count()
     assert io_f()["rows_returned"] == io_b()["rows_returned"]
-    assert io_f()["files_planned"] < io_b()["files_planned"]
+    assert io_f()["files_planned"] <= io_b()["files_planned"]
 
     # driver-side row bound: rows in selected files ≪ rows in hit buckets
     hit_files = [
@@ -121,3 +123,58 @@ def test_mutation_invalidates_filemap(spark, conf8, tmp_path):
         for r in range_query.intersects_query(idx.relation(), *W).collect()
     }
     assert got2 == got
+
+
+def test_files_planned_reflects_bucket_prune(fidx):
+    """ADVICE r3: on the bucket-pruned (no file-map re-plan) path,
+    files_planned must shrink with the partition filter — inputFiles() on
+    the filtered frame lists the whole relation and overcounted."""
+    import dataclasses
+
+    rel = dataclasses.replace(fidx.relation(), file_boxes=[])
+    out, io = stats.observed_intersects_query(rel, *W)
+    out.count()
+    fp = io()["files_planned"]
+    assert 0 < fp < len(rel.df.inputFiles())
+    # and it agrees with the driver-side selection helper
+    assert fp == rel.files_planned_for_box(*W)
+
+
+def test_file_refinement_prunes_within_bucket(spark, tmp_path_factory):
+    """Strict sub-bucket skipping: with coarse buckets (each holding many
+    z-disjoint files) a small window's z cover must select strictly fewer
+    files than bucket pruning alone — with identical results."""
+    import dataclasses
+
+    conf2 = EngineConfig(target_partitions=2)
+    df = td.rects(spark, SF_DIR)
+    idx = index_build.build_index(
+        df, str(tmp_path_factory.mktemp("fm2") / "idx"), conf2,
+        max_records_per_file=150,
+    )
+    rel = idx.relation()
+    rel_b = dataclasses.replace(rel, file_boxes=[])
+    want = {r.id for r in range_query.intersects_query(rel_b, *W).collect()}
+    got = {r.id for r in range_query.intersects_query(rel, *W).collect()}
+    assert got == want
+    fp_f = rel.files_planned_for_box(*W)
+    fp_b = rel_b.files_planned_for_box(*W)
+    assert 0 < fp_f < fp_b
+
+
+def test_files_are_z_sorted_within(fidx):
+    """Regression pin for the EliminateSorts hazard: a bare
+    sortWithinPartitions("z") under partitionBy("bucket") gets DROPPED
+    (V1Writes inserts Sort(bucket); EliminateSorts then removes the z
+    sort as redundant), leaving files unsorted and overlapping.  The
+    (bucket, z) sort must survive into every written file."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    files = glob.glob(fidx.data_path + "/bucket=*/*.parquet")
+    assert files
+    for f in files:
+        z = pq.read_table(f, columns=["z"])["z"].to_numpy()
+        assert (np.diff(z) >= 0).all(), f

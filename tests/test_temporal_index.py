@@ -148,3 +148,89 @@ def test_moving_index_insert_delete(spark, moving, tmp_path_factory):
     vset = {r.id for r in victims.collect()}
     out2, _ = ti.moving_range_query_stored(idx, *W, *MQ)
     assert {r.id for r in out2.collect()} == want - vset
+
+
+def test_moving_past_time_query_matches_full_scan(spark, moving, midx):
+    """ADVICE r3 (medium): for t0 < 0 (legal when horizon is None) the
+    bucket envelope must take min/max over ALL four v·t corner products —
+    the vlo-only/vhi-only form inverts for negative t and silently drops
+    rows.  Past-time stored query ≡ full scan."""
+    past = (-400.0, -50.0)
+    want = {
+        r.id for r in temporal.moving_range_query(moving, *W, *past).collect()
+    }
+    out, io = ti.moving_range_query_stored(midx, *W, *past)
+    got = {r.id for r in out.collect()}
+    assert got == want and len(want) > 0
+    # straddling t=0 too
+    span = (-100.0, 100.0)
+    want2 = {
+        r.id for r in temporal.moving_range_query(moving, *W, *span).collect()
+    }
+    out2, _ = ti.moving_range_query_stored(midx, *W, *span)
+    assert {r.id for r in out2.collect()} == want2
+
+
+def test_temporal_recover_after_interrupted_delete(
+    spark, conf, versions, tmp_path_factory
+):
+    """ADVICE r3: a crash mid-delete leaves ``tb=N.old`` asides; loading
+    then must refuse (mixed partition values corrupt discovery) and
+    recover_temporal_index must roll each bucket to a consistent state
+    (live missing → aside rolls back; live present → aside dropped),
+    re-certifying envelopes."""
+    import shutil
+
+    path = str(tmp_path_factory.mktemp("tix") / "vrec")
+    idx = ti.build_version_index(versions, path, n_tbuckets=16)
+    out0, _ = ti.time_range_query_stored(idx, *W, *TQ)
+    want = {r.id for r in out0.collect()}
+    data = f"{path}/data"
+    dirs = sorted(
+        d for d in __import__("os").listdir(data) if d.startswith("tb=")
+    )
+    # torn swap: live renamed aside, replacement never landed
+    shutil.move(f"{data}/{dirs[0]}", f"{data}/{dirs[0]}.old")
+    # completed swap whose aside cleanup never ran
+    shutil.copytree(f"{data}/{dirs[1]}", f"{data}/{dirs[1]}.old")
+    with pytest.raises(RuntimeError, match="recover_temporal_index"):
+        ti.load_version_index(spark, path)
+    rec = ti.recover_temporal_index(spark, path)
+    out1, _ = ti.time_range_query_stored(rec, *W, *TQ)
+    assert {r.id for r in out1.collect()} == want
+    assert sum(b["n_rows"] for b in rec.buckets) == versions.count()
+    # idempotent: a second recover is a no-op
+    rec2 = ti.recover_temporal_index(spark, path)
+    assert rec2.buckets == rec.buckets
+
+
+def test_version_index_custom_colnames(spark, versions, tmp_path_factory):
+    """ADVICE r3: build-time column names must persist in the manifest and
+    drive stored queries + mutations (the moving index already did this)."""
+    renamed = (
+        versions.withColumnRenamed("tstart", "ts")
+        .withColumnRenamed("tend", "te")
+        .withColumnRenamed("xmin", "x0").withColumnRenamed("ymin", "y0")
+        .withColumnRenamed("xmax", "x1").withColumnRenamed("ymax", "y1")
+    )
+    from libspatialindex_spark.operators.relation import BoxCols
+
+    path = str(tmp_path_factory.mktemp("tix") / "vcols")
+    head = renamed.filter(F.col("id") % 4 != 0)
+    tail = renamed.filter(F.col("id") % 4 == 0)
+    idx = ti.build_version_index(
+        head, path, n_tbuckets=16, tstart="ts", tend="te",
+        box=BoxCols(xmin="x0", ymin="y0", xmax="x1", ymax="y1"),
+    )
+    # reload sees the persisted spec; insert + delete + query all work
+    idx = ti.load_version_index(spark, path)
+    ti.insert_versions(idx, tail, build_id="e1")
+    victims = renamed.filter(F.col("id") % 5 == 0).select("id").distinct()
+    ti.delete_versions(idx, victims)
+    vset = {r.id for r in victims.collect()}
+    dpath = str(tmp_path_factory.mktemp("tix") / "vdflt")
+    ref = ti.build_version_index(versions, dpath, n_tbuckets=16)
+    out_ref, _ = ti.time_range_query_stored(ref, *W, *TQ)
+    want = {r.id for r in out_ref.collect()} - vset
+    out, _ = ti.time_range_query_stored(idx, *W, *TQ)
+    assert {r.id for r in out.collect()} == want

@@ -365,3 +365,18 @@ def test_connected_components_nonconvergence_raises(spark):
         ).collect()
     }
     assert set(got.values()) == {1}
+
+
+def test_connected_components_string_ids(spark):
+    """ADVICE r3: the driver union-find path must carry the INPUT id type
+    through (string doc ids already worked on the distributed path)."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id1 string, id2 string"
+    )
+    for thresh in (10, 0):  # driver path, then distributed path
+        cc = dedup.connected_components(pairs, driver_threshold=thresh)
+        got = {(r.doc_id, r.component_id) for r in cc.collect()}
+        assert got == {
+            ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")
+        }
+        assert cc.schema["doc_id"].dataType.typeName() == "string"
