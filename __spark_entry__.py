@@ -38,6 +38,8 @@ CONF = EngineConfig()
 W = (0.25, 0.25, 0.30, 0.30)  # range window
 P = (0.5, 0.5)  # point-location / kNN query point
 K = 10  # kNN k (test/rtree/test1/run uses 10NN)
+KBOX = (0.48, 0.47, 0.53, 0.52)  # box-kNN query region (q53)
+SEGQ = (0.2, 0.3, 0.7, 0.6)  # segment-kNN query segment (q54)
 SJW = (0.40, 0.40, 0.43, 0.43)  # self-join restriction window
 GK_LO, GK_HI = 524288, 525311  # grid-key strip (ix=512) for Q8
 POLY_BOX = BoxCols("pxmin", "pymin", "pxmax", "pymax")
@@ -91,6 +93,27 @@ def q03_point_location(spark, sf_dir):
 def q04_knn(spark, sf_dir):
     rel = _rects_rel(spark, sf_dir)
     return knn.knn_query(rel, P[0], P[1], K).select("id", "dist2")
+
+
+def q53_knn_box(spark, sf_dir):
+    """kNN with a REGION query shape: nearestNeighborQuery accepts any
+    IShape (RTree.cc:744-746) with distance query.getMinimumDistance(MBR)
+    — Region↔Region per Region.cc:314-338 — and the C API's
+    Index_NearestNeighbors_obj passes a min/max box (sidx_api_test.h:87).
+    Tie-inclusive at the k-th distance, like q04."""
+    rel = _rects_rel(spark, sf_dir)
+    return knn.knn_box_query(rel, *KBOX, K).select("id", "dist2")
+
+
+def q54_knn_segment(spark, sf_dir):
+    """kNN against a LINE-SEGMENT query shape: the reference's
+    nearestNeighborQuery accepts any IShape but LineSegment's Region
+    distance throws 'Not implemented yet' (LineSegment.cc:233-244); this
+    engine defines the true clamped segment↔box metric
+    (functions/geometry.min_dist2_segment_box) — exact, SQL-expressible,
+    tie-inclusive at the k-th like q04/q53."""
+    rel = _rects_rel(spark, sf_dir)
+    return knn.knn_segment_query(rel, *SEGQ, K).select("id", "dist2")
 
 
 def q05_self_join(spark, sf_dir):
@@ -515,7 +538,7 @@ def _ann_index(spark, sf_dir):
         return _ANN_IDX[sf_dir]
     src = f"{sf_dir}/embeddings.parquet"
     tag = hashlib.md5(
-        f"{sf_dir}|{os.path.getmtime(src)}".encode()
+        f"{sf_dir}|{os.path.getmtime(src)}|layout-v2".encode()
     ).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_ann_{tag}")
     try:
@@ -550,27 +573,43 @@ def q43_embed_near_dup(spark, sf_dir):
     return similarity.quantized_cosine_pairs(emb, threshold=0.4)
 
 
+# Per-process memo of the verified stored-LSH pair set (VERDICT r3 #2:
+# q52 re-ran q44's whole band-explode + self-join + verify — the expensive
+# stage — instead of reusing its localCheckpointed result).  Keyed like
+# _ANN_IDX; the checkpoint blocks stay alive as long as this reference does,
+# so the groups query pays only the connected-components cost.
+_STORED_PAIRS: dict[tuple[str, float], DataFrame] = {}
+
+
+def _stored_pairs(spark, sf_dir, threshold: float = 0.4) -> DataFrame:
+    from libspatialindex_spark.operators import ann_index
+
+    key = (sf_dir, threshold)
+    if key not in _STORED_PAIRS:
+        idx = _ann_index(spark, sf_dir)
+        _STORED_PAIRS[key] = ann_index.lsh_near_dup_pairs_stored(
+            idx, threshold=threshold
+        )
+    return _STORED_PAIRS[key]
+
+
 def q44_embed_near_dup_lsh(spark, sf_dir):
     """Banded sign-LSH embedding near-dup (the scale path) through the
     STORED index: band keys, quantized vectors and norms are materialized
     build-time columns — no signature recompute per query.  B=20 bands ×
     r=4 quantized planes, union candidates across bands, exact quantized-
     cosine verify.  Oracle replicates the banding bit-for-bit in SQL."""
-    from libspatialindex_spark.operators import ann_index
-
-    idx = _ann_index(spark, sf_dir)
-    return ann_index.lsh_near_dup_pairs_stored(idx, threshold=0.4)
+    return _stored_pairs(spark, sf_dir, threshold=0.4)
 
 
 def q52_embed_dedup_groups(spark, sf_dir):
     """Embedding near-dup GROUPS: the stored-index banded sign-LSH pairs
-    (q44's scale path) → connected components → (vec_id, component_id) —
-    the end-to-end keep-one-per-cluster dedup for an embedding corpus.
-    Oracle = recursive transitive closure over the q44 oracle pair set."""
-    from libspatialindex_spark.operators import ann_index
-
-    idx = _ann_index(spark, sf_dir)
-    pairs = ann_index.lsh_near_dup_pairs_stored(idx, threshold=0.4)
+    (q44's scale path, shared via the _stored_pairs memo — the pair job
+    runs once per (sf_dir, threshold)) → connected components →
+    (vec_id, component_id) — the end-to-end keep-one-per-cluster dedup
+    for an embedding corpus.  Oracle = recursive transitive closure over
+    the q44 oracle pair set."""
+    pairs = _stored_pairs(spark, sf_dir, threshold=0.4)
     return dedup.connected_components(pairs).withColumnRenamed(
         "doc_id", "vec_id"
     )
@@ -592,6 +631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q02_containment": q02_containment,
         "q03_point_location": q03_point_location,
         "q04_knn": q04_knn,
+        "q53_knn_box": q53_knn_box,
+        "q54_knn_segment": q54_knn_segment,
         "q05_self_join": q05_self_join,
         "q06_bounds": q06_bounds,
         "q07_count_range": q07_count_range,
@@ -1097,6 +1138,34 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM rects
             ),
             dd AS (SELECT id, dx * dx + dy * dy AS dist2 FROM d),
+            kth AS (
+              SELECT MAX(dist2) AS kd
+              FROM (SELECT dist2 FROM dd ORDER BY dist2 LIMIT {K})
+            )
+            SELECT id, dist2 FROM dd WHERE dist2 <= (SELECT kd FROM kth)
+        """,
+        "q53_knn_box": f"""
+            WITH rects AS ({_R}),
+            d AS (
+              SELECT id,
+                GREATEST(xmin - {KBOX[2]}, {KBOX[0]} - xmax, 0.0) AS dx,
+                GREATEST(ymin - {KBOX[3]}, {KBOX[1]} - ymax, 0.0) AS dy
+              FROM rects
+            ),
+            dd AS (SELECT id, dx * dx + dy * dy AS dist2 FROM d),
+            kth AS (
+              SELECT MAX(dist2) AS kd
+              FROM (SELECT dist2 FROM dd ORDER BY dist2 LIMIT {K})
+            )
+            SELECT id, dist2 FROM dd WHERE dist2 <= (SELECT kd FROM kth)
+        """,
+        "q54_knn_segment": f"""
+            WITH rects AS ({_R}),
+            dd AS (
+              SELECT id,
+                CASE WHEN GREATEST(LEAST((xmin - 0.2) / (0.7 - 0.2), (xmax - 0.2) / (0.7 - 0.2)), LEAST((ymin - 0.3) / (0.6 - 0.3), (ymax - 0.3) / (0.6 - 0.3)), 0.0) <= LEAST(GREATEST((xmin - 0.2) / (0.7 - 0.2), (xmax - 0.2) / (0.7 - 0.2)), GREATEST((ymin - 0.3) / (0.6 - 0.3), (ymax - 0.3) / (0.6 - 0.3)), 1.0) THEN 0.0 ELSE LEAST((GREATEST(xmin - 0.2, 0.2 - xmax, 0.0) * GREATEST(xmin - 0.2, 0.2 - xmax, 0.0) + GREATEST(ymin - 0.3, 0.3 - ymax, 0.0) * GREATEST(ymin - 0.3, 0.3 - ymax, 0.0)), (GREATEST(xmin - 0.7, 0.7 - xmax, 0.0) * GREATEST(xmin - 0.7, 0.7 - xmax, 0.0) + GREATEST(ymin - 0.6, 0.6 - ymax, 0.0) * GREATEST(ymin - 0.6, 0.6 - ymax, 0.0)), ((xmin - (0.2 + LEAST(1.0, GREATEST(0.0, ((xmin - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.7 - 0.2))) * (xmin - (0.2 + LEAST(1.0, GREATEST(0.0, ((xmin - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.7 - 0.2))) + (ymin - (0.3 + LEAST(1.0, GREATEST(0.0, ((xmin - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.6 - 0.3))) * (ymin - (0.3 + LEAST(1.0, GREATEST(0.0, ((xmin - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.6 - 0.3)))), ((xmin - (0.2 + LEAST(1.0, GREATEST(0.0, ((xmin - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.7 - 0.2))) * (xmin - (0.2 + LEAST(1.0, GREATEST(0.0, ((xmin - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.7 - 0.2))) + (ymax - (0.3 + LEAST(1.0, GREATEST(0.0, ((xmin - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.6 - 0.3))) * (ymax - (0.3 + LEAST(1.0, GREATEST(0.0, ((xmin - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.6 - 0.3)))), ((xmax - (0.2 + LEAST(1.0, GREATEST(0.0, ((xmax - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.7 - 0.2))) * (xmax - (0.2 + LEAST(1.0, GREATEST(0.0, ((xmax - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.7 - 0.2))) + (ymin - (0.3 + LEAST(1.0, GREATEST(0.0, ((xmax - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.6 - 0.3))) * (ymin - (0.3 + LEAST(1.0, GREATEST(0.0, ((xmax - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.6 - 0.3)))), ((xmax - (0.2 + LEAST(1.0, GREATEST(0.0, ((xmax - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.7 - 0.2))) * (xmax - (0.2 + LEAST(1.0, GREATEST(0.0, ((xmax - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.7 - 0.2))) + (ymax - (0.3 + LEAST(1.0, GREATEST(0.0, ((xmax - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.6 - 0.3))) * (ymax - (0.3 + LEAST(1.0, GREATEST(0.0, ((xmax - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.6 - 0.3))))) END AS dist2
+              FROM rects
+            ),
             kth AS (
               SELECT MAX(dist2) AS kd
               FROM (SELECT dist2 FROM dd ORDER BY dist2 LIMIT {K})

@@ -54,6 +54,21 @@ def main() -> None:
     # Warm the JVM/Arrow paths once so per-query numbers are steady-state.
     td.rects(spark, sf_dir).count()
 
+    # Pre-build the stored ANN + temporal indexes (VERDICT r3 #3): the
+    # one-time builds used to land inside the first timed query that
+    # needed them, inflating q42/q46/q47 on cold /tmp caches.  Build them
+    # here and report the seconds separately (0.x = cache hit from a
+    # previous run — the memo paths are mtime-keyed).
+    build_sec: dict[str, float] = {}
+    t0 = time.time()
+    entrymod._ann_index(spark, sf_dir)
+    build_sec["ann"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    entrymod._version_index(spark, sf_dir)
+    entrymod._moving_index(spark, sf_dir, regions=False)
+    entrymod._moving_index(spark, sf_dir, regions=True)
+    build_sec["temporal"] = round(time.time() - t0, 3)
+
     queries: dict[str, float] = {}
     jvm = spark.sparkContext._jvm
     for name, fn in entrymod.queries().items():
@@ -136,6 +151,17 @@ def main() -> None:
     out_m, mio = ti.moving_range_query_stored(midx, *entrymod.W, *entrymod.MQ)
     out_m.write.format("noop").mode("overwrite").save()
     io_acct["moving_range_stored"] = mio
+    # Signature-probe file selection on the ANN sig projection (VERDICT r3
+    # #1 done-criterion: files_planned ≪ total for a multiprobe query).
+    aidx = entrymod._ann_index(spark, sf_dir)
+    sel = aidx.sig_partitions_for(
+        aidx.probe_sigs(entrymod._qvec(spark, sf_dir), 2)
+    )
+    if sel is not None:
+        sparts, stotal = sel
+        io_acct["ann_sig_probe"] = {
+            "partitions_planned": len(sparts), "partitions_total": stotal,
+        }
 
     # Codec stages are CPU-bound: split their input by compute, not IO
     # (128MB default splits collapse the small image table into a handful
@@ -156,28 +182,34 @@ def main() -> None:
         r = pipeline.run_on(images, polys, conf, n_images=n_images)
         res = r if res is None or r.seconds < res.seconds else res
 
-    print(
-        json.dumps(
-            {
-                "metric": "join_tile_images_per_sec",
-                "value": round(res.images_per_sec, 1),
-                "unit": "sec",
-                "queries": queries,
-                "sf": float(sf),
-                "pipeline_wall_sec": round(res.seconds, 2),
-                "n_images": res.n_images,
-                "n_join_rows": res.n_join_rows,
-                "n_tiles": res.n_tiles,
-                "cpus": cpus,
-                "indexed_range_query_sec": round(indexed_sec, 4),
-                "scan_range_query_sec": round(scan_sec, 4),
-                "index_speedup": round(scan_sec / max(indexed_sec, 1e-9), 2),
-                "index_prune_factor": round(total_rows / max(pruned_rows, 1.0), 1),
-                "io": io_acct,
-                **_scaling_extras(),
-            }
-        )
-    )
+    record = {
+        "metric": "join_tile_images_per_sec",
+        "value": round(res.images_per_sec, 1),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf),
+        "pipeline_wall_sec": round(res.seconds, 2),
+        "n_images": res.n_images,
+        "n_join_rows": res.n_join_rows,
+        "n_tiles": res.n_tiles,
+        "cpus": cpus,
+        "build_sec": build_sec,
+        "indexed_range_query_sec": round(indexed_sec, 4),
+        "scan_range_query_sec": round(scan_sec, 4),
+        "index_speedup": round(scan_sec / max(indexed_sec, 1e-9), 2),
+        "index_prune_factor": round(total_rows / max(pruned_rows, 1.0), 1),
+        "io": io_acct,
+        **_scaling_extras(),
+    }
+    # Durable copy first (VERDICT r3 #4: the stdout line outgrew the
+    # driver's tail capture and r3's per-query timings were lost) …
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LAST.json"), "w") as f:
+        json.dump(record, f, separators=(",", ":"))
+        f.write("\n")
+    # … then the contract's single stdout line, compact to maximize the
+    # chance it fits whatever tail window reads it.
+    print(json.dumps(record, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

@@ -108,6 +108,25 @@ class Index:
     def nearest(self, px: float, py: float, k: int) -> DataFrame:
         return knn.knn_query(self._rel(), px, py, k)
 
+    def nearest_box(self, w: Window, k: int) -> DataFrame:
+        """kNN against a min/max BOX query shape — the
+        ``Index_NearestNeighbors_obj`` surface (``sidx_api_test.h:87``
+        passes a Region; distance per ``Region.cc:314-338``)."""
+        return knn.knn_box_query(self._rel(), *w, k)
+
+    def nearest_custom(self, dist2_expr, k: int) -> DataFrame:
+        """kNN under a caller-supplied distance Column — the
+        ``INearestNeighborComparator`` overload (``RTree.cc:744``)."""
+        return knn.knn_query_custom(self._rel(), dist2_expr, k)
+
+    def nearest_segment(
+        self, x1: float, y1: float, x2: float, y2: float, k: int
+    ) -> DataFrame:
+        """kNN against a LineSegment query shape (true clamped
+        segment↔box metric — the reference's Region overload is
+        unimplemented, ``LineSegment.cc:233-244``)."""
+        return knn.knn_segment_query(self._rel(), x1, y1, x2, y2, k)
+
     def intersects_count(self, w: Window) -> int:
         return range_query.count_intersects(self._rel(), *w).collect()[0]["n"]
 

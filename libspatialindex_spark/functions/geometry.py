@@ -205,6 +205,71 @@ def segment_intersects_segment(
     return proper | touching
 
 
+def line_dist_point(x1, y1, x2, y2, px, py) -> Column:
+    """The reference's EXACT ``LineSegment::getMinimumDistance(Point)``
+    (``src/spatialindex/LineSegment.cc:246-273``) — quirks included: a
+    vertical segment returns ``|px − x1|`` (y ignored), a horizontal one
+    ``|py − y1|``, otherwise the perpendicular distance to the INFINITE
+    line through the segment (no clamping to the endpoints).  Kept for
+    parity; :func:`min_dist2_segment_point` is the true clamped distance
+    a segment-query kNN needs."""
+    x1, y1, x2, y2, px, py = map(_c, (x1, y1, x2, y2, px, py))
+    perp = F.abs((x2 - x1) * (y1 - py) - (x1 - px) * (y2 - y1)) / F.sqrt(
+        (x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)
+    )
+    return (
+        F.when(x2 == x1, F.abs(px - x1))
+        .when(y2 == y1, F.abs(py - y1))
+        .otherwise(perp)
+    )
+
+
+def min_dist2_segment_point(x1, y1, x2, y2, px, py) -> Column:
+    """True squared point↔segment distance: project onto the segment,
+    clamp t to [0, 1], measure to the closest point.  Degenerate segment
+    (zero length) → point↔point distance.  This is the distance a kNN
+    against a segment query shape orders by (the reference's own
+    ``getMinimumDistance`` is the unclamped line form —
+    :func:`line_dist_point`; its Region overload throws 'Not implemented
+    yet', ``LineSegment.cc:225-244``, so this engine defines the proper
+    metric, as it did for Ball)."""
+    x1, y1, x2, y2, px, py = map(_c, (x1, y1, x2, y2, px, py))
+    dx = x2 - x1
+    dy = y2 - y1
+    len2 = dx * dx + dy * dy
+    t_raw = ((px - x1) * dx + (py - y1) * dy) / len2
+    t = F.when(len2 == 0.0, F.lit(0.0)).otherwise(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), t_raw))
+    )
+    ex = x1 + t * dx
+    ey = y1 + t * dy
+    return (px - ex) * (px - ex) + (py - ey) * (py - ey)
+
+
+def min_dist2_segment_box(
+    x1, y1, x2, y2, xmin, ymin, xmax, ymax
+) -> Column:
+    """Squared segment↔box distance, 0 when they meet.
+
+    Exactness: for two disjoint convex sets whose boundaries are segments,
+    the minimum is attained at an endpoint of one of them — so it is the
+    least of (a) each segment endpoint's distance to the box
+    (``Region.cc:407-429``) and (b) each box corner's clamped distance to
+    the segment.  The meet test is the Liang-Barsky clip
+    (:func:`segment_intersects_box`)."""
+    hit = segment_intersects_box(x1, y1, x2, y2, xmin, ymin, xmax, ymax)
+    return F.when(hit, F.lit(0.0)).otherwise(
+        F.least(
+            min_dist2_point(xmin, ymin, xmax, ymax, x1, y1),
+            min_dist2_point(xmin, ymin, xmax, ymax, x2, y2),
+            min_dist2_segment_point(x1, y1, x2, y2, xmin, ymin),
+            min_dist2_segment_point(x1, y1, x2, y2, xmin, ymax),
+            min_dist2_segment_point(x1, y1, x2, y2, xmax, ymin),
+            min_dist2_segment_point(x1, y1, x2, y2, xmax, ymax),
+        )
+    )
+
+
 # ----------------------------------------------------------- N-dimensional
 #
 # The reference's Region kernel is dimension-generic (per-dim loops over

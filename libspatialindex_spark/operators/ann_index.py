@@ -87,32 +87,30 @@ class StoredAnnIndex:
     def df(self) -> DataFrame:
         return self.spark.read.parquet(self.data_path)
 
-    def sig_map(self) -> list[dict] | None:
-        """Per-file [sig_min, sig_max] zone map of the sig-sorted
-        projection (the ``refresh_file_map`` pattern applied to the LSH
-        key): None when the projection is absent (never built, or
-        invalidated by a mutation — queries fall back to the main
-        layout)."""
+    def has_sig_projection(self) -> bool:
+        """True when the sig-partitioned projection is present and
+        committed (its marker exists).  False after a mutation
+        invalidated it — queries fall back to the main layout."""
         fs = FS.get_fs(self.spark, self.path)
-        p = FS.join(self.path, "sigmap.json")
-        if not fs.exists(p):
-            return None
-        return json.loads(fs.read_text(p))
+        return fs.exists(FS.join(self.path, "sigmap.json"))
 
-    def sig_files_for(self, probes: list[int]) -> tuple[list[str], int] | None:
-        """Driver-side file selection for a probe set: the projection
-        files whose [sig_min, sig_max] zone can hold any probe, plus the
-        projection's total file count (for IO accounting).  None = no
-        projection."""
-        sm = self.sig_map()
-        if sm is None:
+    def sig_partitions_for(
+        self, probes: list[int]
+    ) -> tuple[list[int], int] | None:
+        """Driver-side accounting of the projection's partition pruning:
+        (probed ``_sig`` directories that exist, total directories).
+        None = no projection.  The query itself needs no map — ``_sig``
+        is the partition column, so ``_sig IN probes`` prunes directories
+        natively."""
+        if not self.has_sig_projection():
             return None
-        files = [
-            e["path"]
-            for e in sm
-            if any(e["sig_min"] <= p <= e["sig_max"] for p in probes)
-        ]
-        return files, len(sm)
+        fs = FS.get_fs(self.spark, self.path)
+        have = {
+            int(n.split("=", 1)[1])
+            for n in fs.listdir(self.sig_path)
+            if n.startswith("_sig=")
+        }
+        return sorted(have & set(probes)), len(have)
 
     def probe_cells(self, qvec: list[float], n_probe: int) -> list[int]:
         """The ``n_probe`` centroid ids nearest (integer L2) to the query —
@@ -237,22 +235,24 @@ def build_ann_index(
 
 def refresh_sig_projection(
     idx: StoredAnnIndex,
-    n_files: int = 16,
     max_records_per_file: int | None = 1 << 20,
 ) -> None:
-    """(Re)build the sig-sorted secondary projection + its per-file zone
-    map (VERDICT r3 #1/#3).
+    """(Re)build the sig-partitioned secondary projection (VERDICT r3
+    #1/#3).
 
     The main layout clusters by ``_cell`` (IVF lists), so every file's
     signature range is ~full-width and a ``_sig`` probe must open every
-    list.  This projection is the classic secondary index expressed as a
-    sorted columnar projection: ``(id, _sig, _q, _n2)`` range-partitioned
-    and sorted globally by ``_sig``, files therefore sig-disjoint, with a
-    driver-side ``[sig_min, sig_max]`` map (``sigmap.json`` — the
-    ``refresh_file_map`` pattern) so a multiprobe query plans ONLY the
-    files that can hold a probe.  Mutations invalidate it (stale
-    projection = wrong answers); this rebuilds it.  At 100 TB the
-    projection is one extra range-shuffled write of four thin columns."""
+    list.  Worse, a Hamming-ball multiprobe set is numerically SCATTERED
+    — no linear sort order clusters it, so a [sig_min, sig_max] file zone
+    map prunes poorly (~½ the files hold some probe).  The right layout
+    is value-granular: the projection ``(id, _sig, _q, _n2)`` is
+    partitioned BY ``_sig`` itself (≤ 2^n_planes = 256 directories at the
+    default 8 planes), one file per signature, so ``_sig IN probes`` is
+    native partition pruning — exactly the probed directories are read,
+    the inverted-page read of ``RTree.cc:1678-1729``.  Mutations
+    invalidate the projection (stale = wrong answers); this rebuilds it.
+    At 100 TB it is one extra shuffled write of four thin columns; hot
+    signatures split files via maxRecordsPerFile."""
     spark = idx.spark
     fs = FS.get_fs(spark, idx.path)
     data = spark.read.parquet(idx.data_path).select(
@@ -260,37 +260,19 @@ def refresh_sig_projection(
     )
     tmp = idx.sig_path + ".new"
     fs.delete(tmp)
-    # no partitionBy → the writer inserts no sort of its own, so the plain
-    # _sig sort survives into the files
+    n_sigs = 1 << idx.n_planes
     writer = (
-        data.repartitionByRange(n_files, "_sig")
-        .sortWithinPartitions("_sig")
-        .write.mode("overwrite")
+        data.repartition(min(n_sigs, 1024), "_sig")
+        .write.partitionBy("_sig")
+        .mode("overwrite")
     )
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
     writer.parquet(tmp)
     fs.delete(idx.sig_path)
     fs.rename(tmp, idx.sig_path)
-    rows = (
-        spark.read.parquet(idx.sig_path)
-        .groupBy(F.input_file_name().alias("path"))
-        .agg(
-            F.min("_sig").alias("sig_min"),
-            F.max("_sig").alias("sig_max"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .collect()
-    )
-    sm = [
-        {
-            "path": r["path"], "sig_min": int(r["sig_min"]),
-            "sig_max": int(r["sig_max"]), "n_rows": int(r["n_rows"]),
-        }
-        for r in rows
-    ]
-    # map written AFTER the projection data — the commit point
-    fs.write_text(FS.join(idx.path, "sigmap.json"), json.dumps(sm))
+    # marker written AFTER the projection data — the commit point
+    fs.write_text(FS.join(idx.path, "sigmap.json"), json.dumps({"ok": True}))
 
 
 def invalidate_sig_projection(idx: StoredAnnIndex) -> None:
@@ -411,26 +393,19 @@ def ann_lsh_cosine_stored(
     probe_hamming: int = 2,
 ) -> DataFrame:
     """LSH multiprobe ANN over the stored index.  Preferred path: the
-    sig-sorted projection — driver-side file selection from the
-    ``sigmap.json`` zone map opens ONLY the files whose sig range can
-    hold a probe (the one-page-per-node read of ``RTree.cc:1678-1729``),
-    then ``_sig IN probes`` prunes row groups inside them.  Fallback
-    (projection invalidated by a mutation): the main cell layout, where
-    the probe list still reaches parquet row-group stats via the
-    per-file (_cell, _sig) sort.  Re-rank reads stored ``_q``/``_n2``.
-    Result ≡ ``similarity.ann_lsh_cosine`` either way."""
+    sig-PARTITIONED projection — ``_sig`` is the directory column there,
+    so ``_sig IN probes`` is native partition pruning and exactly the
+    probed signatures' files are read (the one-page-per-node read of
+    ``RTree.cc:1678-1729``).  Fallback (projection invalidated by a
+    mutation): the main cell layout, where the probe list still reaches
+    parquet row-group stats via the per-file (_cell, _sig) sort.
+    Re-rank reads stored ``_q``/``_n2``.  Result ≡
+    ``similarity.ann_lsh_cosine`` either way."""
     probes = idx.probe_sigs(qvec, probe_hamming)
-    sel = idx.sig_files_for(probes)
-    if sel is not None:
-        files, _total = sel
-        if not files:
-            base = idx.spark.read.parquet(idx.sig_path)
-            return base.select(
-                F.col(idx.id_col), F.lit(0.0).alias("cos_q")
-            ).filter(F.lit(False))
-        cand = idx.spark.read.option("basePath", idx.sig_path).parquet(
-            *files
-        ).filter(F.col("_sig").isin(probes))
+    if idx.has_sig_projection():
+        cand = idx.spark.read.parquet(idx.sig_path).filter(
+            F.col("_sig").isin(probes)
+        )
     else:
         cand = idx.df().filter(F.col("_sig").isin(probes))
     d = cand.select(F.col(idx.id_col), _stored_cos(qvec).alias("cos_q"))

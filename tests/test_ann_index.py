@@ -220,17 +220,21 @@ def test_cell_files_sig_sorted_within(idx):
         assert (np.diff(s) >= 0).all(), f
 
 
-def test_sig_projection_disjoint_and_selective(idx, qvec):
-    """The sig-sorted projection: files sig-disjoint, and a multiprobe
-    query's driver-side file selection opens a strict subset."""
-    sm = idx.sig_map()
-    assert sm and len(sm) > 1
-    spans = sorted((e["sig_min"], e["sig_max"]) for e in sm)
-    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
-        assert a1 <= b0  # range-partitioned + sorted → disjoint
-    probes = idx.probe_sigs(qvec, probe_hamming=1)  # 9 of 256 sig values
-    files, total = idx.sig_files_for(probes)
-    assert 0 < len(files) < total
+def test_sig_projection_partition_pruned(idx, qvec):
+    """The sig-partitioned projection: _sig is the directory column, a
+    multiprobe query reads a strict subset of directories, and the prune
+    shows up as a PartitionFilter on the scan plan."""
+    assert idx.has_sig_projection()
+    probes = idx.probe_sigs(qvec, probe_hamming=2)  # 37 of 256 sig values
+    parts, total = idx.sig_partitions_for(probes)
+    assert 0 < len(parts) <= len(probes) < total
+    plan = (
+        idx.spark.read.parquet(idx.sig_path)
+        .filter(F.col("_sig").isin(probes))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    part = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "_sig" in part
 
 
 def test_lsh_stored_fallback_after_mutation(spark, emb, qvec, tmp_path_factory):
@@ -243,9 +247,9 @@ def test_lsh_stored_fallback_after_mutation(spark, emb, qvec, tmp_path_factory):
     idx = ann_index.build_ann_index(
         head, path, stride=31, bands=20, rows_per_band=4, n_planes=8, seed=42
     )
-    assert idx.sig_map() is not None
+    assert idx.has_sig_projection()
     ann_index.insert_vectors(idx, tail, build_id="e1")
-    assert idx.sig_map() is None  # invalidated
+    assert not idx.has_sig_projection()  # invalidated
     want = {
         (r.vec_id, r.cos_q)
         for r in similarity.ann_lsh_cosine(emb, qvec, K).collect()
@@ -256,7 +260,7 @@ def test_lsh_stored_fallback_after_mutation(spark, emb, qvec, tmp_path_factory):
     }
     assert got == want  # fallback path
     ann_index.refresh_sig_projection(idx)
-    assert idx.sig_map() is not None
+    assert idx.has_sig_projection()
     got2 = {
         (r.vec_id, r.cos_q)
         for r in ann_index.ann_lsh_cosine_stored(idx, qvec, K).collect()

@@ -129,3 +129,82 @@ def test_knn_join_non_unit_world_terminates_complete(spark):
     assert set(got) == {7, 8}
     assert got[7] == {0, 1, 2}
     assert got[8] == {9, 8, 7}
+
+
+BOXQ = (0.48, 0.47, 0.53, 0.52)
+
+
+def _brute_box_knn(p, q, k):
+    """Numpy oracle: Region↔Region min dist (Region.cc:314-338), tie-incl."""
+    qxmin, qymin, qxmax, qymax = q
+    dx = np.maximum.reduce(
+        [p.xmin - qxmax, qxmin - p.xmax, np.zeros(len(p))]
+    )
+    dy = np.maximum.reduce(
+        [p.ymin - qymax, qymin - p.ymax, np.zeros(len(p))]
+    )
+    d2 = np.asarray(dx * dx + dy * dy)
+    kth = np.sort(d2)[k - 1]
+    return set(p.id[d2 <= kth])
+
+
+def test_box_knn_matches_bruteforce(stored, rects_pdf, conf):
+    """VERDICT r3 #4: nearestNeighborQuery with a Region query shape
+    (Index_NearestNeighbors_obj passes a min/max box) — seeded stored path
+    AND plain-relation ring path both equal the numpy oracle."""
+    idx, df = stored
+    want = _brute_box_knn(rects_pdf, BOXQ, K)
+    got = {r.id for r in knn.knn_box_query(idx.relation(), *BOXQ, K).collect()}
+    assert got == want
+    rel = SpatialRelation(df, conf, max_extent=(td.MAX_EXTENT,) * 2)
+    got2 = {r.id for r in knn.knn_box_query(rel, *BOXQ, K).collect()}
+    assert got2 == want
+
+
+def test_box_knn_ties_inside_box(stored, rects_pdf):
+    """Every entry intersecting the query box has distance 0 — with a box
+    big enough to contain > k entries, ALL of them are coincident at the
+    k-th distance and must be returned (the RTree.cc:760-762 tie rule)."""
+    idx, _ = stored
+    big = (0.3, 0.3, 0.7, 0.7)
+    p = rects_pdf
+    inside = (
+        ~((p.xmin > big[2]) | (p.xmax < big[0])
+          | (p.ymin > big[3]) | (p.ymax < big[1]))
+    )
+    n_inside = int(inside.sum())
+    assert n_inside > K  # the tie group genuinely exceeds k
+    out = knn.knn_box_query(idx.relation(), *big, K)
+    got = {r.id for r in out.collect()}
+    assert got == set(p.id[inside])  # all zero-distance ties kept
+
+
+def test_point_knn_is_degenerate_box(stored):
+    idx, _ = stored
+    rel = idx.relation()
+    a = {(r.id, r.dist2) for r in knn.knn_query(rel, *P, K).collect()}
+    b = {
+        (r.id, r.dist2)
+        for r in knn.knn_box_query(rel, P[0], P[1], P[0], P[1], K).collect()
+    }
+    assert a == b
+
+
+def test_knn_custom_comparator(stored, rects_pdf):
+    """INearestNeighborComparator overload: rank by a caller-supplied
+    metric (here: distance of the box CENTER to P under L1) — checked
+    against numpy, tie-inclusive."""
+    from pyspark.sql import functions as F
+
+    idx, _ = stored
+    rel = idx.relation()
+    expr = (
+        F.abs((F.col("xmin") + F.col("xmax")) / 2 - P[0])
+        + F.abs((F.col("ymin") + F.col("ymax")) / 2 - P[1])
+    )
+    got = {r.id for r in knn.knn_query_custom(rel, expr, K).collect()}
+    p = rects_pdf
+    d = np.abs((p.xmin + p.xmax) / 2 - P[0]) + np.abs((p.ymin + p.ymax) / 2 - P[1])
+    d = np.asarray(d)
+    kth = np.sort(d)[K - 1]
+    assert got == set(p.id[d <= kth])
