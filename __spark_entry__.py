@@ -284,7 +284,7 @@ def _temporal_path(sf_dir: str, kind: str) -> str:
 
     src = f"{sf_dir}/lineitem.parquet"
     tag = hashlib.md5(
-        f"{sf_dir}|{kind}|{os.path.getmtime(src)}".encode()
+        f"{sf_dir}|{kind}|{os.path.getmtime(src)}|layout-v2".encode()
     ).hexdigest()[:10]
     return os.path.join(tempfile.gettempdir(), f"spark_graft_t_{tag}")
 

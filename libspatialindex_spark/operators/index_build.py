@@ -592,10 +592,13 @@ def build_index(
     return idx
 
 
-def refresh_file_map(idx: StoredIndex) -> None:
+def refresh_file_map(idx) -> None:
     """(Re)build the per-file zone map and the per-bucket learned rank
     models (B6 completion — ``LearnedIndex.cc:1494-1507`` /
-    ``BulkLoader.cc:429-445`` analog).
+    ``BulkLoader.cc:429-445`` analog) — works on both :class:`StoredIndex`
+    and the dimension-generic ``NDStoredIndex`` (the z key is a scalar
+    long whatever the dimension, so the map and the models are
+    dimension-blind).
 
     File zone map: one scan grouped by ``input_file_name()`` → (path,
     bucket, zmin, zmax, n_rows).  Files within a bucket are z-disjoint

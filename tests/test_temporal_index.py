@@ -234,3 +234,38 @@ def test_version_index_custom_colnames(spark, versions, tmp_path_factory):
     want = {r.id for r in out_ref.collect()} - vset
     out, _ = ti.time_range_query_stored(idx, *W, *TQ)
     assert {r.id for r in out.collect()} == want
+
+
+def test_version_index_equal_frequency_balanced(spark, versions, tmp_path_factory):
+    """VERDICT r3 #7: a skewed op stream (y^skewness stress,
+    Generator.cc:70) must not pile into one tstart bucket — approxQuantile
+    cuts with tie-advance keep per-bucket rows balanced, insert routing
+    uses the persisted cuts, and queries stay ≡ the full scan."""
+    # skew the fixture hard: tstart ~ span * u^4 piles 76% of rows into
+    # the first 1/3 of the range
+    skewed = versions.withColumn(
+        "tstart", F.pow(F.col("tstart") / 1100.0, 4.0) * 1100.0
+    ).withColumn("tend", F.col("tstart") + 5.0)
+    path = str(tmp_path_factory.mktemp("tix") / "veq")
+    idx = ti.build_version_index(skewed, path, n_tbuckets=16)
+    assert idx.cuts is not None
+    rows = [b["n_rows"] for b in idx.buckets]
+    total = sum(rows)
+    # equal-width would put >60% in bucket 0; equal-frequency bounds the
+    # heaviest bucket near total/16
+    assert max(rows) < 0.25 * total, rows
+    assert len(rows) >= 8
+    # routing round-trip: reload + insert goes through the cuts
+    idx2 = ti.load_version_index(spark, path)
+    assert idx2.cuts == idx.cuts
+    # stored query ≡ full scan on the skewed data
+    from libspatialindex_spark.operators.relation import SpatialRelation
+
+    rel = SpatialRelation(skewed, None or __import__(
+        "libspatialindex_spark.config", fromlist=["DEFAULT"]
+    ).DEFAULT, max_extent=(td.MAX_EXTENT,) * 2)
+    q = (0.0, 0.0, 1.0, 1.0, 10.0, 40.0)
+    want = {r.id for r in temporal.time_range_query(rel, *q).collect()}
+    out, io = ti.time_range_query_stored(idx2, *q)
+    assert {r.id for r in out.collect()} == want
+    assert io["buckets_scanned"] < io["buckets_total"]
