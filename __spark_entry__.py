@@ -210,6 +210,7 @@ def q14_batch_queries(spark, sf_dir):
 # 3-D query constants (the fork's 3-D test families — RTreeQuery3d etc.).
 W3_LO, W3_HI = (0.25, 0.25, 0.25), (0.32, 0.32, 0.32)
 P3 = (0.5, 0.5, 0.5)
+B3_LO, B3_HI = (0.40, 0.45, 0.50), (0.50, 0.55, 0.60)  # 3-D box-kNN (q55)
 
 
 def _rects3_rel(spark, sf_dir):
@@ -238,6 +239,19 @@ def q17_3d_knn(spark, sf_dir):
 
     rel = _rects3_rel(spark, sf_dir)
     return nd.knn_query_nd(rel, list(P3), K).select("id", "dist2")
+
+
+def q55_3d_knn_box(spark, sf_dir):
+    """3-D kNN with a REGION query shape — nearestNeighborQuery accepts
+    any IShape at any dimension (RTree.cc:744-746 + 306-308); distance is
+    the dimension-generic Region↔Region delta loop (Region.cc:312-338).
+    Tie-inclusive like q17."""
+    from libspatialindex_spark.operators import nd
+
+    rel = _rects3_rel(spark, sf_dir)
+    return nd.knn_box_query_nd(rel, list(B3_LO), list(B3_HI), K).select(
+        "id", "dist2"
+    )
 
 
 TQ = (200.0, 260.0)  # Q9 time interval [t0, t1)
@@ -645,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_count_contains": q15_count_contains,
         "q16_3d_range": q16_3d_range,
         "q17_3d_knn": q17_3d_knn,
+        "q55_3d_knn_box": q55_3d_knn_box,
         "q09_time_range": q09_time_range,
         "q10_moving_range": q10_moving_range,
         "q18_moving_region_range": q18_moving_region_range,
@@ -1163,7 +1178,7 @@ def _oracle_sql_base() -> dict[str, str]:
             WITH rects AS ({_R}),
             dd AS (
               SELECT id,
-                CASE WHEN GREATEST(LEAST((xmin - 0.2) / (0.7 - 0.2), (xmax - 0.2) / (0.7 - 0.2)), LEAST((ymin - 0.3) / (0.6 - 0.3), (ymax - 0.3) / (0.6 - 0.3)), 0.0) <= LEAST(GREATEST((xmin - 0.2) / (0.7 - 0.2), (xmax - 0.2) / (0.7 - 0.2)), GREATEST((ymin - 0.3) / (0.6 - 0.3), (ymax - 0.3) / (0.6 - 0.3)), 1.0) THEN 0.0 ELSE LEAST((GREATEST(xmin - 0.2, 0.2 - xmax, 0.0) * GREATEST(xmin - 0.2, 0.2 - xmax, 0.0) + GREATEST(ymin - 0.3, 0.3 - ymax, 0.0) * GREATEST(ymin - 0.3, 0.3 - ymax, 0.0)), (GREATEST(xmin - 0.7, 0.7 - xmax, 0.0) * GREATEST(xmin - 0.7, 0.7 - xmax, 0.0) + GREATEST(ymin - 0.6, 0.6 - ymax, 0.0) * GREATEST(ymin - 0.6, 0.6 - ymax, 0.0)), ((xmin - (0.2 + LEAST(1.0, GREATEST(0.0, ((xmin - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.7 - 0.2))) * (xmin - (0.2 + LEAST(1.0, GREATEST(0.0, ((xmin - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.7 - 0.2))) + (ymin - (0.3 + LEAST(1.0, GREATEST(0.0, ((xmin - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.6 - 0.3))) * (ymin - (0.3 + LEAST(1.0, GREATEST(0.0, ((xmin - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.6 - 0.3)))), ((xmin - (0.2 + LEAST(1.0, GREATEST(0.0, ((xmin - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.7 - 0.2))) * (xmin - (0.2 + LEAST(1.0, GREATEST(0.0, ((xmin - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.7 - 0.2))) + (ymax - (0.3 + LEAST(1.0, GREATEST(0.0, ((xmin - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.6 - 0.3))) * (ymax - (0.3 + LEAST(1.0, GREATEST(0.0, ((xmin - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.6 - 0.3)))), ((xmax - (0.2 + LEAST(1.0, GREATEST(0.0, ((xmax - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.7 - 0.2))) * (xmax - (0.2 + LEAST(1.0, GREATEST(0.0, ((xmax - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.7 - 0.2))) + (ymin - (0.3 + LEAST(1.0, GREATEST(0.0, ((xmax - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.6 - 0.3))) * (ymin - (0.3 + LEAST(1.0, GREATEST(0.0, ((xmax - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.6 - 0.3)))), ((xmax - (0.2 + LEAST(1.0, GREATEST(0.0, ((xmax - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.7 - 0.2))) * (xmax - (0.2 + LEAST(1.0, GREATEST(0.0, ((xmax - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.7 - 0.2))) + (ymax - (0.3 + LEAST(1.0, GREATEST(0.0, ((xmax - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.6 - 0.3))) * (ymax - (0.3 + LEAST(1.0, GREATEST(0.0, ((xmax - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (0.6 - 0.3))))) END AS dist2
+                CASE WHEN GREATEST(LEAST((xmin - 0.2) / (0.7 - 0.2), (xmax - 0.2) / (0.7 - 0.2)), LEAST((ymin - 0.3) / (0.6 - 0.3), (ymax - 0.3) / (0.6 - 0.3)), 0.0) <= LEAST(GREATEST((xmin - 0.2) / (0.7 - 0.2), (xmax - 0.2) / (0.7 - 0.2)), GREATEST((ymin - 0.3) / (0.6 - 0.3), (ymax - 0.3) / (0.6 - 0.3)), 1.0) THEN 0.0 ELSE LEAST((GREATEST(xmin - 0.2, 0.2 - xmax, 0.0) * GREATEST(xmin - 0.2, 0.2 - xmax, 0.0) + GREATEST(ymin - 0.3, 0.3 - ymax, 0.0) * GREATEST(ymin - 0.3, 0.3 - ymax, 0.0)), (GREATEST(xmin - 0.7, 0.7 - xmax, 0.0) * GREATEST(xmin - 0.7, 0.7 - xmax, 0.0) + GREATEST(ymin - 0.6, 0.6 - ymax, 0.0) * GREATEST(ymin - 0.6, 0.6 - ymax, 0.0)), GREATEST(((xmin - 0.2) * (xmin - 0.2) + (ymin - 0.3) * (ymin - 0.3)) - LEAST(1.0, GREATEST(0.0, ((xmin - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (2.0 * ((xmin - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) - LEAST(1.0, GREATEST(0.0, ((xmin - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3))), 0.0), GREATEST(((xmin - 0.2) * (xmin - 0.2) + (ymax - 0.3) * (ymax - 0.3)) - LEAST(1.0, GREATEST(0.0, ((xmin - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (2.0 * ((xmin - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) - LEAST(1.0, GREATEST(0.0, ((xmin - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3))), 0.0), GREATEST(((xmax - 0.2) * (xmax - 0.2) + (ymin - 0.3) * (ymin - 0.3)) - LEAST(1.0, GREATEST(0.0, ((xmax - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (2.0 * ((xmax - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) - LEAST(1.0, GREATEST(0.0, ((xmax - 0.2) * (0.7 - 0.2) + (ymin - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3))), 0.0), GREATEST(((xmax - 0.2) * (xmax - 0.2) + (ymax - 0.3) * (ymax - 0.3)) - LEAST(1.0, GREATEST(0.0, ((xmax - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * (2.0 * ((xmax - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) - LEAST(1.0, GREATEST(0.0, ((xmax - 0.2) * (0.7 - 0.2) + (ymax - 0.3) * (0.6 - 0.3)) / ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3)))) * ((0.7 - 0.2) * (0.7 - 0.2) + (0.6 - 0.3) * (0.6 - 0.3))), 0.0)) END AS dist2
               FROM rects
             ),
             kth AS (
@@ -1271,6 +1286,22 @@ def _oracle_sql_base() -> dict[str, str]:
                 GREATEST(xmin - {P3[0]}, {P3[0]} - xmax, 0.0) AS dx,
                 GREATEST(ymin - {P3[1]}, {P3[1]} - ymax, 0.0) AS dy,
                 GREATEST(wmin - {P3[2]}, {P3[2]} - wmax, 0.0) AS dw
+              FROM r3
+            ),
+            dd AS (SELECT id, dx * dx + dy * dy + dw * dw AS dist2 FROM d),
+            kth AS (
+              SELECT MAX(dist2) AS kd
+              FROM (SELECT dist2 FROM dd ORDER BY dist2 LIMIT {K})
+            )
+            SELECT id, dist2 FROM dd WHERE dist2 <= (SELECT kd FROM kth)
+        """,
+        "q55_3d_knn_box": f"""
+            WITH r3 AS ({td.RECTS3D_SQL.strip()}),
+            d AS (
+              SELECT id,
+                GREATEST(xmin - {B3_HI[0]}, {B3_LO[0]} - xmax, 0.0) AS dx,
+                GREATEST(ymin - {B3_HI[1]}, {B3_LO[1]} - ymax, 0.0) AS dy,
+                GREATEST(wmin - {B3_HI[2]}, {B3_LO[2]} - wmax, 0.0) AS dw
               FROM r3
             ),
             dd AS (SELECT id, dx * dx + dy * dy + dw * dw AS dist2 FROM d),

@@ -205,6 +205,13 @@ class IndexND:
 
         return nd.knn_query_nd(self._rel(), list(pt), k)
 
+    def nearest_box(self, qlo, qhi, k: int) -> DataFrame:
+        """kNN against a d-dim Region query shape (RTree.cc:744-746 at
+        any dimension)."""
+        from libspatialindex_spark.operators import nd
+
+        return nd.knn_box_query_nd(self._rel(), list(qlo), list(qhi), k)
+
     def intersects_count(self, qlo, qhi) -> int:
         from libspatialindex_spark.operators import nd
 

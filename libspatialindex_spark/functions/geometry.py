@@ -237,13 +237,20 @@ def min_dist2_segment_point(x1, y1, x2, y2, px, py) -> Column:
     dx = x2 - x1
     dy = y2 - y1
     len2 = dx * dx + dy * dy
-    t_raw = ((px - x1) * dx + (py - y1) * dy) / len2
+    ux = px - x1
+    uy = py - y1
+    dot = ux * dx + uy * dy
     t = F.when(len2 == 0.0, F.lit(0.0)).otherwise(
-        F.least(F.lit(1.0), F.greatest(F.lit(0.0), t_raw))
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), dot / len2))
     )
-    ex = x1 + t * dx
-    ey = y1 + t * dy
-    return (px - ex) * (px - ex) + (py - ey) * (py - ey)
+    # |u − t·d|² = |u|² − t·(2·dot − t·len2), clamped at 0 against float
+    # cancellation.  This algebraic form references t twice instead of the
+    # closest-point form's four — the straightforward ex/ey expansion
+    # pushed the 6-term segment↔box LEAST past the JIT method-size limit,
+    # dropping the whole filter out of codegen (20-30× slower interpreted
+    # evaluation measured at sf0.1).
+    u2 = ux * ux + uy * uy
+    return F.greatest(u2 - t * (F.lit(2.0) * dot - t * len2), F.lit(0.0))
 
 
 def min_dist2_segment_box(
@@ -321,6 +328,18 @@ def min_dist2_point_nd(lows, highs, pts) -> Column:
     out = None
     for lo, hi, p in zip(lows, highs, pts):
         d = F.greatest(_c(lo) - _c(p), _c(p) - _c(hi), F.lit(0.0))
+        term = d * d
+        out = term if out is None else out + term
+    return out
+
+
+def min_dist2_box_nd(lows, highs, qlows, qhighs) -> Column:
+    """Squared Euclidean distance box → box, 0 when intersecting
+    (Region.cc:312-338 — the per-dim delta loop is dimension-generic in
+    the reference), any dimension."""
+    out = None
+    for lo, hi, qlo, qhi in zip(lows, highs, qlows, qhighs):
+        d = F.greatest(_c(lo) - _c(qhi), _c(qlo) - _c(hi), F.lit(0.0))
         term = d * d
         out = term if out is None else out + term
     return out

@@ -211,15 +211,28 @@ def knn_segment_query(
         x1, y1, x2, y2,
         F.col(b.xmin), F.col(b.ymin), F.col(b.xmax), F.col(b.ymax),
     )
+    # Entry↔segment-MBR distance LOWER-bounds entry↔segment distance
+    # (segment ⊂ its MBR), so `pre ≤ r²` is a valid codegen prefilter.
+    pre = G.min_dist2_box(
+        F.col(b.xmin), F.col(b.ymin), F.col(b.xmax), F.col(b.ymax),
+        sxmin, symin, sxmax, symax,
+    )
 
     def candidates(radius: float, cap: bool = True) -> DataFrame:
         if radius < world_r:
             df = rel.pruned_for_box(
                 sxmin - radius, symin - radius, sxmax + radius, symax + radius
-            )
+            ).filter(pre <= radius * radius)
         else:
             df = rel.df
-        df = df.withColumn(dist_col, d2)
+        # The exact segment↔box expression is too large for FilterExec's
+        # predicate codegen (a Filter condition cannot be method-split the
+        # way a Project can), so filtering on the derived column directly
+        # runs INTERPRETED — 20-30× slower measured at sf0.1.  Project the
+        # distance (codegen, split across methods), cut lineage with a
+        # lazy localCheckpoint so the column becomes a plain attribute,
+        # THEN cap on it.
+        df = df.withColumn(dist_col, d2).localCheckpoint(eager=False)
         return df.filter(F.col(dist_col) <= radius * radius) if cap else df
 
     seeded = _seed_radius_segment(rel, x1, y1, x2, y2, k)

@@ -170,23 +170,26 @@ def point_location_query_nd(rel: NDRelation, pt: list[float]) -> DataFrame:
     )
 
 
-def knn_query_nd(
+def _knn_shape_nd(
     rel: NDRelation,
-    pt: list[float],
+    qlo: list[float],
+    qhi: list[float],
     k: int,
-    dist_col: str = "dist2",
-    ring_init: float = 1.0 / 64.0,
-    ring_growth: float = 2.0,
+    dist_col: str,
+    ring_init: float,
+    ring_growth: float,
 ) -> DataFrame:
-    """Q4 in d dims: tie-inclusive kNN (RTree.cc:744-812 semantics) via
-    cube-ring expansion + threshold filter — the 2-D shape generalized."""
+    """Shared d-dim kNN core for any box-shaped query (a point is the
+    degenerate box): cube-ring expansion around [qlo, qhi] + tie-inclusive
+    threshold (RTree.cc:744-812 semantics; the kNN distance is the
+    dimension-generic Region↔Region delta loop, Region.cc:312-338)."""
     world_r = max(hi - lo for lo, hi in rel.conf.axes)
-    d2 = G.min_dist2_point_nd(rel.box.lows(), rel.box.highs(), pt)
+    d2 = G.min_dist2_box_nd(rel.box.lows(), rel.box.highs(), qlo, qhi)
 
     def candidates(radius: float, cap: bool = True) -> DataFrame:
         if radius < world_r:
             df = rel.pruned_for_box(
-                [p - radius for p in pt], [p + radius for p in pt]
+                [p - radius for p in qlo], [p + radius for p in qhi]
             )
         else:
             df = rel.df
@@ -213,6 +216,37 @@ def knn_query_nd(
         return cand.filter(F.col(dist_col) <= F.lit(kth)).localCheckpoint()
     finally:
         cand.unpersist()
+
+
+def knn_query_nd(
+    rel: NDRelation,
+    pt: list[float],
+    k: int,
+    dist_col: str = "dist2",
+    ring_init: float = 1.0 / 64.0,
+    ring_growth: float = 2.0,
+) -> DataFrame:
+    """Q4 in d dims: tie-inclusive point kNN — the degenerate box."""
+    return _knn_shape_nd(
+        rel, list(pt), list(pt), k, dist_col, ring_init, ring_growth
+    )
+
+
+def knn_box_query_nd(
+    rel: NDRelation,
+    qlo: list[float],
+    qhi: list[float],
+    k: int,
+    dist_col: str = "dist2",
+    ring_init: float = 1.0 / 64.0,
+    ring_growth: float = 2.0,
+) -> DataFrame:
+    """kNN with a d-dim REGION query shape (``nearestNeighborQuery``
+    accepts any IShape at any dimension, RTree.cc:744-746 + 306-308) —
+    the 2-D ``knn_box_query`` generalized."""
+    return _knn_shape_nd(
+        rel, list(qlo), list(qhi), k, dist_col, ring_init, ring_growth
+    )
 
 
 def knn_join_nd(

@@ -523,3 +523,42 @@ def test_3d_mutation_invalidates_filemap(spark, r3, tmp_path):
         | (p.wmin > W3_HI[2]) | (p.wmax < W3_LO[2])
     )
     assert got == set(p.id[m])
+
+
+def test_3d_box_knn_matches_bruteforce(spark, r3, r3_pdf, tmp_path_factory):
+    """d-dim kNN with a REGION query (nearestNeighborQuery accepts any
+    IShape at any dimension) vs numpy, tie-inclusive; point kNN must be
+    the degenerate box."""
+    qlo, qhi = [0.40, 0.45, 0.50], [0.50, 0.55, 0.60]
+    k = 10
+    p = r3_pdf
+    d2 = np.zeros(len(p))
+    for lo_c, hi_c, ql, qh in (
+        ("xmin", "xmax", qlo[0], qhi[0]),
+        ("ymin", "ymax", qlo[1], qhi[1]),
+        ("wmin", "wmax", qlo[2], qhi[2]),
+    ):
+        d = np.maximum.reduce(
+            [p[lo_c] - qh, ql - p[hi_c], np.zeros(len(p))]
+        )
+        d2 = d2 + np.asarray(d * d)
+    kth = np.sort(d2)[k - 1]
+    want = set(p.id[d2 <= kth])
+    conf3 = nd.NDConfig(axes=AX3, grid_bits=10, target_partitions=8)
+    idx = nd.build_index_nd(
+        r3, str(tmp_path_factory.mktemp("bk3") / "idx"), conf3, BOX3
+    )
+    rel = idx.relation()
+    got = {r.id for r in nd.knn_box_query_nd(rel, qlo, qhi, k).collect()}
+    assert got == want and len(want) >= k
+    # degenerate-box equivalence with the point path
+    pt = [0.5, 0.5, 0.5]
+    a = {(r.id, r.dist2) for r in nd.knn_query_nd(rel, pt, k).collect()}
+    b = {(r.id, r.dist2) for r in nd.knn_box_query_nd(rel, pt, pt, k).collect()}
+    assert a == b
+    # facade surface
+    from libspatialindex_spark.api import IndexND
+
+    idx2 = IndexND.load(spark, idx.path)
+    got2 = {r.id for r in idx2.nearest_box(qlo, qhi, k).collect()}
+    assert got2 == want
