@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -270,6 +272,123 @@ def knn_query_custom(
     )
 
 
+def _knn_join_seed_round(
+    rel: SpatialRelation,
+    pending: DataFrame,
+    k: int,
+    d2,
+    dist_col: str,
+    win,
+    world_r: float,
+    qid_col: str,
+    _cells_of_box,
+    _cell_of_point,
+):
+    """Histogram-seeded single-pass round for :func:`knn_join`.
+
+    A center-cell histogram (one groupBy, ≤ 64×64 rows to the driver)
+    gives every query a CERTIFIED radius: order cells by min query↔cell
+    distance, accumulate counts to ≥ k, take the max far-corner distance
+    over the used cells — every accumulated entry's box is provably within
+    that radius (box dist ≤ center dist ≤ cell far corner).  Radii are
+    computed per query in an Arrow-batched pandas UDF over the broadcast
+    histogram, so the operator stays distributed at any query count.
+    Returns (result_rows, resolved_qids) — both localCheckpointed — or
+    None when seeding cannot certify (empty relation, k ≥ N)."""
+    from pyspark.sql.functions import pandas_udf
+
+    conf = rel.conf
+    b = rel.box
+    wxmin, wymin, wxmax, wymax = conf.world
+    nh = 64
+    sx = (wxmax - wxmin) / nh
+    sy = (wymax - wymin) / nh
+    ccx = (F.col(b.xmin) + F.col(b.xmax)) / 2
+    ccy = (F.col(b.ymin) + F.col(b.ymax)) / 2
+    hx = F.least(
+        F.lit(nh - 1),
+        F.greatest(F.lit(0), F.floor((ccx - F.lit(wxmin)) / F.lit(sx))),
+    ).cast("long")
+    hy = F.least(
+        F.lit(nh - 1),
+        F.greatest(F.lit(0), F.floor((ccy - F.lit(wymin)) / F.lit(sy))),
+    ).cast("long")
+    hist = rel.df.groupBy(hx.alias("hx"), hy.alias("hy")).count().collect()
+    if not hist:
+        return None
+    hxa = np.array([r["hx"] for r in hist], dtype=np.int64)
+    hya = np.array([r["hy"] for r in hist], dtype=np.int64)
+    cnt = np.array([r["count"] for r in hist], dtype=np.int64)
+    if int(cnt.sum()) < k:
+        return None  # k ≥ N: the doubling loop's min(k, N) fallback applies
+    cx0 = wxmin + hxa * sx
+    cx1 = cx0 + sx
+    cy0 = wymin + hya * sy
+    cy1 = cy0 + sy
+
+    @pandas_udf("double")
+    def seed_r(qx: pd.Series, qy: pd.Series) -> pd.Series:
+        X = qx.to_numpy(dtype=float)
+        Y = qy.to_numpy(dtype=float)
+        out = np.empty(len(X))
+        for i in range(len(X)):
+            px, py = X[i], Y[i]
+            dx = np.maximum(np.maximum(cx0 - px, px - cx1), 0.0)
+            dy = np.maximum(np.maximum(cy0 - py, py - cy1), 0.0)
+            near2 = dx * dx + dy * dy
+            fx = np.maximum(np.abs(px - cx0), np.abs(px - cx1))
+            fy = np.maximum(np.abs(py - cy0), np.abs(py - cy1))
+            far2 = fx * fx + fy * fy
+            order = np.argsort(near2, kind="stable")
+            csum = np.cumsum(cnt[order])
+            idx = int(np.searchsorted(csum, k))
+            out[i] = float(np.sqrt(far2[order[: idx + 1]].max()))
+        return pd.Series(out)
+
+    seeded = pending.withColumn(
+        "_r", seed_r(F.col("_qx"), F.col("_qy"))
+    ).persist()
+    med = seeded.agg(F.percentile_approx("_r", 0.5).alias("m")).collect()[0]["m"]
+    if med is None:
+        seeded.unpersist()
+        return None
+    bits = max(1, min(8, int(math.floor(math.log2(world_r / max(med, 1e-9))))))
+    n = 1 << bits
+    ecells = _cells_of_box(rel.df, b, n, conf.world)
+    qbox = (
+        seeded.withColumn("qxmin", F.col("_qx") - F.col("_r"))
+        .withColumn("qymin", F.col("_qy") - F.col("_r"))
+        .withColumn("qxmax", F.col("_qx") + F.col("_r"))
+        .withColumn("qymax", F.col("_qy") + F.col("_r"))
+    )
+    from libspatialindex_spark.operators.relation import BoxCols
+
+    qcells = _cells_of_box(
+        qbox, BoxCols("qxmin", "qymin", "qxmax", "qymax"), n, conf.world
+    ).drop("qxmin", "qymin", "qxmax", "qymax")
+    nx = F.greatest(F.col(b.xmin), F.least(F.col("_qx"), F.col(b.xmax)))
+    ny = F.greatest(F.col(b.ymin), F.least(F.col("_qy"), F.col(b.ymax)))
+    cand = (
+        qcells.join(ecells, on="cell")
+        .withColumn(dist_col, d2)
+        .filter(F.col(dist_col) <= F.col("_r") * F.col("_r"))
+        .filter(_cell_of_point(nx, ny, n, conf.world) == F.col("cell"))
+        .persist()
+    )
+    rn = F.row_number().over(win.orderBy(dist_col, "id"))
+    scored = cand.withColumn("_rn", rn).withColumn(
+        "_kth", F.max(F.when(F.col("_rn") <= k, F.col(dist_col))).over(win)
+    ).withColumn("_cnt", F.count(F.lit(1)).over(win))
+    ok = scored.filter(F.col("_cnt") >= k)
+    rows = ok.filter(F.col(dist_col) <= F.col("_kth")).select(
+        F.col("_qid").alias(qid_col), "id", dist_col
+    ).localCheckpoint()
+    qids = ok.select("_qid").distinct().localCheckpoint()
+    cand.unpersist()
+    seeded.unpersist()
+    return rows, qids
+
+
 def knn_join(
     rel: SpatialRelation,
     queries: DataFrame,
@@ -329,6 +448,27 @@ def knn_join(
     ).persist()
     win = Window.partitionBy("_qid")
     out: DataFrame | None = None
+
+    # ---- histogram-seeded round 0 (single-pass for nearly every query) --
+    # One cheap center-cell histogram (≤ 4096 rows to the driver) prices a
+    # CERTIFIED per-query radius the way the stored index's manifest seed
+    # does (RTree.cc:748-762 root descent off header metadata): accumulate
+    # cells by min query↔cell distance until ≥ k entries, radius = max
+    # far-corner distance over the used cells (an entry's box distance ≤
+    # its center distance ≤ the cell's far corner).  Radii are computed in
+    # an Arrow-batched pandas UDF over the BROADCAST histogram, so the
+    # query side stays fully distributed; the doubling loop below remains
+    # as the completeness fallback (k > N, float edges).
+    seeded = _knn_join_seed_round(
+        rel, pending, k, d2, dist_col, win, world_r, qid_col,
+        _cells_of_box, _cell_of_point,
+    )
+    if seeded is not None:
+        rows0, done0 = seeded  # both already materialized (localCheckpoint)
+        out = rows0
+        new_pending = pending.join(done0, on="_qid", how="left_anti").persist()
+        pending.unpersist()
+        pending = new_pending
 
     def resolve(cand: DataFrame, certified) -> tuple[DataFrame, DataFrame]:
         """Split candidates into resolved result rows + resolved qids."""
