@@ -52,7 +52,10 @@ def _safe(build_id: str) -> str:
 
 
 def _is_nd(idx) -> bool:
-    return not hasattr(idx, "spec")
+    # positive structural test: the ND index's box is per-axis dims (the
+    # old "no spec attribute" probe broke the moment NDStoredIndex gained
+    # its own partitioner spec)
+    return hasattr(idx, "box") and hasattr(idx.box, "dims")
 
 
 def _mpath(idx) -> str:

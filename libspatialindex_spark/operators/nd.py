@@ -472,14 +472,101 @@ def _bucket_shift_nd(conf: NDConfig) -> int:
 
 
 @dataclass
+class NDPartitionSpec:
+    """Serializable d-generic global partitioner — the 2-D
+    ``PartitionSpec`` family at any dimension, closing the fork's 3-D
+    bulk-load targets (``test/CMakeLists.txt``: ``LISABulkLoad3d`` =
+    quantile, ``PlatonBulkLoad3d`` = cutlist, ``KDTreeLoad3d`` = kd,
+    ``SFCRTreeBulkLoad3d`` = zprefix).  Query-side pruning is
+    partitioner-agnostic (the manifest stores each bucket's exact per-axis
+    bounds), so only the bucket assignment differs."""
+
+    kind: str = "zprefix"  # zprefix | cutlist | kd  (quantile → cutlist)
+    shift: int = 0
+    cuts: list | None = None
+    kd_tree: list | None = None  # nested [dim, cut, left, right] | leaf int
+
+    def bucket_expr(self, centers: list, z):
+        if self.kind == "zprefix":
+            return F.shiftright(z, self.shift)
+        if self.kind == "cutlist":
+            from functools import reduce
+
+            inds = [(z > F.lit(int(c))).cast("long") for c in self.cuts]
+            return reduce(lambda a, b: a + b, inds, F.lit(0).cast("long"))
+        if self.kind == "kd":
+            def walk(node):
+                if isinstance(node, int):
+                    return F.lit(node).cast("long")
+                dim, cut, left, right = node
+                return F.when(
+                    centers[dim] <= F.lit(float(cut)), walk(left)
+                ).otherwise(walk(right))
+
+            return walk(_tuplify_nd(self.kd_tree))
+        raise ValueError(self.kind)
+
+    def to_json(self) -> dict:
+        return {
+            "pkind": self.kind, "shift": self.shift, "cuts": self.cuts,
+            "kd_tree": self.kd_tree,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "NDPartitionSpec":
+        return NDPartitionSpec(
+            kind=d.get("pkind", "zprefix"), shift=int(d.get("shift") or 0),
+            cuts=d.get("cuts"), kd_tree=d.get("kd_tree"),
+        )
+
+
+def _tuplify_nd(node):
+    if isinstance(node, list):
+        return (node[0], node[1], _tuplify_nd(node[2]), _tuplify_nd(node[3]))
+    return node
+
+
+def kd_partition_tree_nd(sample: "np_like", levels: int) -> list:
+    """Top-down median splits cycling through ALL d dims
+    (``kdtree/BulkLoader.cc:327-377`` with dim cycling ``:425`` — the 2-D
+    builder generalized; sample is an (n, d) array of box centers)."""
+    import numpy as np
+
+    counter = [0]
+    d = sample.shape[1]
+
+    def build(pts, depth):
+        if depth >= levels or len(pts) < 4:
+            leaf = counter[0]
+            counter[0] += 1
+            return leaf
+        dim = depth % d
+        cut = float(np.median(pts[:, dim]))
+        left = pts[pts[:, dim] <= cut]
+        right = pts[pts[:, dim] > cut]
+        if len(left) == 0 or len(right) == 0:
+            leaf = counter[0]
+            counter[0] += 1
+            return leaf
+        return [dim, cut, build(left, depth + 1), build(right, depth + 1)]
+
+    return build(sample, 0)
+
+
+@dataclass
 class NDStoredIndex:
-    """A persisted N-d two-level index (z-prefix buckets + array manifest)."""
+    """A persisted N-d two-level index (partitioned buckets + array
+    manifest; bucket assignment per :class:`NDPartitionSpec`)."""
 
     spark: SparkSession
     path: str
     conf: NDConfig
     box: NDBox
     shift: int
+    spec: NDPartitionSpec | None = None
+
+    def _spec(self) -> NDPartitionSpec:
+        return self.spec or NDPartitionSpec(kind="zprefix", shift=self.shift)
 
     @property
     def data_path(self) -> str:
@@ -548,8 +635,9 @@ class NDStoredIndex:
         z = curves.z_key_nd(
             box.centers(), list(self.conf.axes), self.conf.grid_bits
         )
-        return df.withColumn("z", z).withColumn(
-            "bucket", F.shiftright(F.col("z"), self.shift)
+        out = df.withColumn("z", z)
+        return out.withColumn(
+            "bucket", self._spec().bucket_expr(box.centers(), F.col("z"))
         )
 
     def manifest_totals_rows(self) -> list[dict]:
@@ -652,13 +740,25 @@ def build_index_nd(
     box: NDBox | None = None,
     build_id: str = "build-1",
     max_records_per_file: int | None = None,
+    partitioner: str = "zprefix",
+    cuts: list[int] | None = None,
+    kd_levels: int | None = None,
 ) -> NDStoredIndex:
     """Bulk-load an N-d relation: d-way Morton key on box centers → range
-    shuffle → z-sorted z-prefix buckets → array-bounds manifest.  Same
+    shuffle → partitioned, z-sorted buckets → array-bounds manifest.  Same
     write-data-then-commit-manifest protocol as the 2-D build.
     ``max_records_per_file`` additionally splits buckets into z-disjoint
     files and records the file zone map + learned rank models (the 3-D
-    ``ZMQuery3d`` analog — VERDICT r3 missing #3)."""
+    ``ZMQuery3d`` analog — VERDICT r3 missing #3).
+
+    ``partitioner`` selects the d-generic bulk-load family (fork 3-D
+    targets): ``zprefix`` (SFC, default), ``quantile`` (LISA
+    equal-frequency cuts on the mapped 1-D key — the key IS LISA's
+    multi-dim → 1-D mapping), ``cutlist`` (PLATON/TGS explicit cuts) and
+    ``kd`` (median splits cycling all d dims).  Manifest pruning is
+    partitioner-agnostic."""
+    import numpy as np
+
     spark = df.sparkSession
     box = box or NDBox()
     if box.d != conf.d:
@@ -667,8 +767,37 @@ def build_index_nd(
     shift = _bucket_shift_nd(conf)
 
     z = curves.z_key_nd(box.centers(), list(conf.axes), conf.grid_bits)
-    keyed = df.withColumn("z", z).withColumn(
-        "bucket", F.shiftright(F.col("z"), shift)
+    zonly = df.withColumn("z", z)
+    if partitioner == "zprefix":
+        spec = NDPartitionSpec(kind="zprefix", shift=shift)
+    elif partitioner == "quantile":
+        nb = max(4 * conf.target_partitions, 4)
+        qs = [i / nb for i in range(1, nb)]
+        raw = zonly.approxQuantile("z", qs, 0.001)
+        qcuts: list[int] = []
+        for c in raw:  # tie-advance: strictly increasing
+            ci = int(c)
+            if not qcuts or ci > qcuts[-1]:
+                qcuts.append(ci)
+        spec = NDPartitionSpec(kind="cutlist", shift=shift, cuts=qcuts)
+    elif partitioner == "cutlist":
+        if not cuts:
+            raise ValueError("cutlist partitioner needs explicit cuts")
+        spec = NDPartitionSpec(kind="cutlist", shift=shift, cuts=list(cuts))
+    elif partitioner == "kd":
+        levels = kd_levels or max(
+            2, math.ceil(math.log(4 * conf.target_partitions, 2))
+        )
+        samp = (
+            df.select(*[c.alias(f"_c{i}") for i, c in enumerate(box.centers())])
+            .limit(20000).toPandas().to_numpy(dtype=float)
+        )
+        tree = kd_partition_tree_nd(samp, levels)
+        spec = NDPartitionSpec(kind="kd", shift=shift, kd_tree=tree)
+    else:
+        raise ValueError(partitioner)
+    keyed = zonly.withColumn(
+        "bucket", spec.bucket_expr(box.centers(), F.col("z"))
     )
     if fs.isdir(path):
         fs.delete(path)
@@ -683,6 +812,7 @@ def build_index_nd(
                 "grid_bits": conf.grid_bits,
                 "target_partitions": conf.target_partitions,
                 "dims": [list(p) for p in box.dims],
+                **spec.to_json(),
             }
         ),
     )
@@ -698,7 +828,9 @@ def build_index_nd(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
     writer.parquet(data_path)
-    idx = NDStoredIndex(spark=spark, path=path, conf=conf, box=box, shift=shift)
+    idx = NDStoredIndex(
+        spark=spark, path=path, conf=conf, box=box, shift=shift, spec=spec
+    )
     written = spark.read.parquet(data_path)
     _nd_manifest_for(written, box, build_id).write.mode("overwrite").parquet(
         idx.manifest_path
@@ -723,5 +855,6 @@ def load_index_nd(spark: SparkSession, path: str) -> NDStoredIndex:
     )
     box = NDBox(dims=tuple(tuple(p_) for p_ in d["dims"]))
     return NDStoredIndex(
-        spark=spark, path=path, conf=conf, box=box, shift=int(d["shift"])
+        spark=spark, path=path, conf=conf, box=box, shift=int(d["shift"]),
+        spec=NDPartitionSpec.from_json(d),
     )

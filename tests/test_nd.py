@@ -562,3 +562,49 @@ def test_3d_box_knn_matches_bruteforce(spark, r3, r3_pdf, tmp_path_factory):
     idx2 = IndexND.load(spark, idx.path)
     got2 = {r.id for r in idx2.nearest_box(qlo, qhi, k).collect()}
     assert got2 == want
+
+
+@pytest.mark.parametrize("part", ["quantile", "kd"])
+def test_3d_alt_partitioner_query_parity(spark, r3, r3_pdf, tmp_path_factory, part):
+    """3-D bulk-load family parity (fork targets LISABulkLoad3d /
+    KDTreeLoad3d / PlatonBulkLoad3d): every partitioner answers the same
+    queries identically — pruning is manifest-MBR-driven, so only the
+    bucket assignment differs.  Quantile (LISA) additionally balances
+    bucket sizes; mutations route through the persisted spec."""
+    conf3 = nd.NDConfig(axes=AX3, grid_bits=10, target_partitions=2)
+    idx = nd.build_index_nd(
+        r3, str(tmp_path_factory.mktemp(f"p3{part}") / "idx"), conf3, BOX3,
+        partitioner=part,
+    )
+    p = r3_pdf
+    m = ~(
+        (p.xmin > W3_HI[0]) | (p.xmax < W3_LO[0])
+        | (p.ymin > W3_HI[1]) | (p.ymax < W3_LO[1])
+        | (p.wmin > W3_HI[2]) | (p.wmax < W3_LO[2])
+    )
+    want = set(p.id[m])
+    rel = idx.relation()
+    got = {r.id for r in nd.intersects_query_nd(rel, W3_LO, W3_HI).collect()}
+    assert got == want
+    assert len(rel.bucket_boxes) > 1
+    if part == "quantile":
+        counts = [
+            rr["n_rows"] for rr in idx.manifest_totals_rows()
+        ]
+        assert max(counts) < 0.3 * sum(counts)  # equal-frequency balance
+    # load round-trip restores the partitioner; mutations route through it
+    idx2 = nd.load_index_nd(spark, idx.path)
+    assert idx2._spec().kind == idx._spec().kind
+    from libspatialindex_spark.operators import mutations
+
+    victims = r3.filter(F.col("id") % 7 == 0).select("id").distinct()
+    mutations.delete_rows(idx2, victims)
+    vset = {rr.id for rr in victims.collect()}
+    got2 = {
+        r.id
+        for r in nd.intersects_query_nd(
+            idx2.relation(), W3_LO, W3_HI
+        ).collect()
+    }
+    assert got2 == want - vset
+    assert idx2.validate()
