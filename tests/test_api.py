@@ -93,3 +93,25 @@ def test_offset_limit_traversal_order(idx):
         ).collect()
     ]
     assert page == full[7:12]
+
+
+def test_nearest_shapes_facade(idx):
+    """r4 query-shape surface: box (Index_NearestNeighbors_obj), segment,
+    and custom-comparator kNN all flow through the facade and agree with
+    the operator-level functions."""
+    from pyspark.sql import functions as F2
+
+    from libspatialindex_spark.operators import knn
+
+    index, _ = idx
+    rel = index._rel()
+    w = (0.48, 0.47, 0.53, 0.52)
+    a = {r.id for r in index.nearest_box(w, 5).collect()}
+    assert a == {r.id for r in knn.knn_box_query(rel, *w, 5).collect()}
+    seg = (0.2, 0.3, 0.7, 0.6)
+    s = {r.id for r in index.nearest_segment(*seg, 5).collect()}
+    assert s == {r.id for r in knn.knn_segment_query(rel, *seg, 5).collect()}
+    expr = F2.abs((F2.col("xmin") + F2.col("xmax")) / 2 - 0.5)
+    c = {r.id for r in index.nearest_custom(expr, 5).collect()}
+    assert c == {r.id for r in knn.knn_query_custom(rel, expr, 5).collect()}
+    assert len(a) >= 5 and len(s) >= 5 and len(c) >= 5
