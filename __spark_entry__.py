@@ -241,6 +241,54 @@ def q17_3d_knn(spark, sf_dir):
     return nd.knn_query_nd(rel, list(P3), K).select("id", "dist2")
 
 
+# Per-process memo of the stored 3-D index (build-once/query-many, like
+# _ANN_IDX): q56 exercises the full ND stored stack — bulk load, manifest
+# MBR pruning, and the learned file-map refinement — under the q16 oracle.
+_ND_IDX: dict[str, object] = {}
+
+
+def _nd_index(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from libspatialindex_spark.operators import nd
+
+    if sf_dir in _ND_IDX:
+        return _ND_IDX[sf_dir]
+    src = f"{sf_dir}/lineitem.parquet"
+    tag = hashlib.md5(
+        f"{sf_dir}|nd3|{os.path.getmtime(src)}|layout-v1".encode()
+    ).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_nd_{tag}")
+    try:
+        idx = nd.load_index_nd(spark, path)
+    except FileNotFoundError:
+        td.register_views(spark, sf_dir)
+        df = spark.sql(td.RECTS3D_SQL)
+        box = nd.NDBox((("xmin", "xmax"), ("ymin", "ymax"), ("wmin", "wmax")))
+        conf3 = nd.NDConfig(
+            axes=((0.0, 1.0),) * 3, grid_bits=10, target_partitions=16
+        )
+        idx = nd.build_index_nd(
+            df, path, conf3, box, max_records_per_file=20_000
+        )
+    _ND_IDX[sf_dir] = idx
+    return idx
+
+
+def q56_3d_range_stored(spark, sf_dir):
+    """3-D range intersection through the STORED dimension-generic index:
+    octree-prefix buckets + per-axis array manifest (driver MBR prune) +
+    the learned per-file z zone map (ZMQuery3d analog) — results ≡ the
+    derived-relation q16, so the same oracle holds."""
+    from libspatialindex_spark.operators import nd
+
+    idx = _nd_index(spark, sf_dir)
+    rel = idx.relation()
+    return nd.intersects_query_nd(rel, list(W3_LO), list(W3_HI)).select("id")
+
+
 def q55_3d_knn_box(spark, sf_dir):
     """3-D kNN with a REGION query shape — nearestNeighborQuery accepts
     any IShape at any dimension (RTree.cc:744-746 + 306-308); distance is
@@ -670,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_3d_range": q16_3d_range,
         "q17_3d_knn": q17_3d_knn,
         "q55_3d_knn_box": q55_3d_knn_box,
+        "q56_3d_range_stored": q56_3d_range_stored,
         "q09_time_range": q09_time_range,
         "q10_moving_range": q10_moving_range,
         "q18_moving_region_range": q18_moving_region_range,
@@ -1283,6 +1332,13 @@ def _oracle_sql_base() -> dict[str, str]:
               AND NOT (rects.ymin > w.qymax OR rects.ymax < w.qymin)
         """,
         "q16_3d_range": f"""
+            WITH r3 AS ({td.RECTS3D_SQL.strip()})
+            SELECT id FROM r3
+            WHERE NOT (xmin > {W3_HI[0]} OR xmax < {W3_LO[0]})
+              AND NOT (ymin > {W3_HI[1]} OR ymax < {W3_LO[1]})
+              AND NOT (wmin > {W3_HI[2]} OR wmax < {W3_LO[2]})
+        """,
+        "q56_3d_range_stored": f"""
             WITH r3 AS ({td.RECTS3D_SQL.strip()})
             SELECT id FROM r3
             WHERE NOT (xmin > {W3_HI[0]} OR xmax < {W3_LO[0]})

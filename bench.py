@@ -68,6 +68,9 @@ def main() -> None:
     entrymod._moving_index(spark, sf_dir, regions=False)
     entrymod._moving_index(spark, sf_dir, regions=True)
     build_sec["temporal"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    entrymod._nd_index(spark, sf_dir)
+    build_sec["nd3"] = round(time.time() - t0, 3)
 
     queries: dict[str, float] = {}
     jvm = spark.sparkContext._jvm
