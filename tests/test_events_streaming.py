@@ -160,3 +160,81 @@ def test_stateful_streaming_sessions_match_batch(spark, ev, tmp_path):
         for _, r in closed.iterrows()
     }
     assert got == want and len(want) > 0
+
+
+# ---------------------------------------- stateful moving-object tracking --
+
+
+def test_streaming_moving_tracker_matches_batch(spark, tmp_path, conf):
+    """applyInPandasWithState latest-position tracker (the streaming TPR
+    feed): after draining an update stream, the last emit per object
+    equals the batch latest_positions() oracle — across micro-batch
+    boundaries — and the TPR range query over the drained snapshot equals
+    the batch path."""
+    from libspatialindex_spark.sources import testdata as td
+    from libspatialindex_spark.streaming.moving import (
+        latest_positions,
+        track_moving_stream,
+    )
+
+    td.register_views(spark, SF_DIR)
+    base = spark.sql(td.MOVING_SQL).limit(3000)
+    # three reports per object at epochs 0/1/2, drifting positions — the
+    # epoch-2 report must win everywhere
+    updates = None
+    for e in range(3):
+        u = base.select(
+            "id",
+            F.lit(e).cast("long").alias("epoch"),
+            (F.col("x") + 0.01 * e).alias("x"),
+            (F.col("y") + 0.005 * e).alias("y"),
+            "vx", "vy",
+        )
+        updates = u if updates is None else updates.unionByName(u)
+    src = str(tmp_path / "mov_src")
+    # shuffle updates across many files so an object's reports span
+    # micro-batches (maxFilesPerTrigger=2)
+    updates.orderBy(F.rand(7)).repartition(8).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "id long, epoch long, x double, y double, vx double, vy double"
+    ).option("maxFilesPerTrigger", 2).parquet(src)
+    q = (
+        track_moving_stream(stream)
+        .writeStream.format("memory")
+        .queryName("mov_track")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.sql("SELECT * FROM mov_track")
+    # reduce emits to the last per object (emits advance monotonically)
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("id").orderBy(
+            *[F.desc(c) for c in ("epoch", "x", "y", "vx", "vy")]
+        )
+    )
+    got = emitted.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    want = latest_positions(spark.read.parquet(src))
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w
+    # one surviving report per OBJECT (ids repeat in the fixture slice)
+    assert len(g) == base.select("id").distinct().count()
+    # every object advanced at least once but was not re-emitted per report
+    assert emitted.count() >= len(g)
+    # TPR query over the drained snapshot ≡ batch path on the oracle
+    win = (0.25, 0.25, 0.35, 0.35)
+    a = {
+        r.id
+        for r in temporal.moving_range_query(got, *win, 0.0, 256.0).collect()
+    }
+    b = {
+        r.id
+        for r in temporal.moving_range_query(want, *win, 0.0, 256.0).collect()
+    }
+    assert a == b and a
