@@ -269,6 +269,10 @@ def refresh_sig_projection(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
     writer.parquet(tmp)
+    # drop any existing marker BEFORE touching the live projection: a
+    # crash between the delete and the rename must leave "no projection"
+    # (correct fallback), never a marker pointing at missing data
+    fs.delete(FS.join(idx.path, "sigmap.json"))
     fs.delete(idx.sig_path)
     fs.rename(tmp, idx.sig_path)
     # marker written AFTER the projection data — the commit point
