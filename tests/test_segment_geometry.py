@@ -190,13 +190,18 @@ def test_line_dist_point_reference_quirks(spark):
         assert abs(got - want) < 1e-12, (seg, px, py, got, want)
 
 
-def test_segment_box_distance_matches_numpy(spark):
+@pytest.mark.parametrize("seg", [
+    (0.2, 0.3, 0.7, 0.6),    # generic diagonal
+    (0.4, 0.1, 0.4, 0.9),    # vertical
+    (0.1, 0.55, 0.9, 0.55),  # horizontal
+    (0.5, 0.5, 0.5, 0.5),    # degenerate (point)
+    (0.9, 0.8, 0.1, 0.2),    # reversed orientation
+])
+def test_segment_box_distance_matches_numpy(spark, seg):
     """min_dist2_segment_box vs a brute-force numpy oracle (dense sampling
     of the segment → point↔box distances, plus corner↔segment), over 400
     random boxes; zero iff the Liang-Barsky clip reports a hit."""
     import numpy as np
-
-    seg = (0.2, 0.3, 0.7, 0.6)
     x0, y0, x1b, y1b = _rand_boxes()
     # oracle: min over (segment endpoints → box, box corners → segment,
     # dense segment sample → box) — sampling only TIGHTENS the upper
