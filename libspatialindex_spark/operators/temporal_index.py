@@ -623,7 +623,10 @@ def insert_versions(
     fs.delete(staging)
     tstart, _, _ = idx.colspec()
     keyed = rows.withColumn("tb", _version_tb_expr(idx, tstart))
-    keyed.write.partitionBy("tb").mode("overwrite").parquet(staging)
+    # ("tb", tstart) like the build: keeps appended files tstart-clustered
+    keyed.repartition("tb").sortWithinPartitions("tb", tstart).write.partitionBy(
+        "tb"
+    ).mode("overwrite").parquet(staging)
     touched = sorted(
         int(n.split("=", 1)[1])
         for n in fs.listdir(staging) if n.startswith("tb=")
