@@ -12,20 +12,24 @@ build-once / query-many shape the spatial side has:
   computes, per row: the quantized vector ``_q`` + integer norm ``_n2``
   (the exact-rerank columns), the 8-plane sign signature ``_sig`` (LSH
   multiprobe key), the B×r banded keys ``_bk`` (near-dup pair key), and
-  the IVF cell ``_cell`` (nearest stored centroid).  Data is written
-  ``partitionBy(_cell)`` — the inverted lists ARE the physical layout —
-  and sorted by ``_sig`` inside each list so parquet row-group zone maps
-  prune signature probes.  Centroids (fit once from the same strided
+  the IVF cell ``_cell`` (nearest stored centroid).  Data is shuffled by
+  ``_cell`` and written ``partitionBy(_cell)`` — the inverted lists ARE
+  the physical layout, ONE file per list (r4; hot cells split via
+  ``maxRecordsPerFile``), each file sorted by ``_sig``.  A secondary
+  projection ``sigdata/`` of ``(id, _sig, _q, _n2)`` is PARTITIONED BY
+  ``_sig`` itself (value-granular — Hamming-ball probe sets scatter, so no
+  linear sort clusters them).  Centroids (fit once from the same strided
   sample the in-flight path used) + the plane/band config persist in
   ``ann.json``; like the spatial build, data is written first and the
-  manifest is the commit point.
+  manifest is the commit point (``sigmap.json`` commits the projection).
 * **query** — :func:`ann_ivf_cosine_stored` prunes to the ``n_probe``
   nearest lists via PARTITION pruning on ``_cell`` (no per-row cell
   assignment, no driver collect of vectors); :func:`ann_lsh_cosine_stored`
-  prunes with a ``_sig IN`` probe list pushed to parquet row-group stats;
-  :func:`lsh_near_dup_pairs_stored` reads ``_bk``/``_q``/``_n2`` straight
-  from the index.  All three re-rank with the STORED quantized columns —
-  Python never re-touches the raw vectors.
+  reads exactly the probed ``_sig`` directories of the projection (native
+  partition pruning; falls back to the cell layout's row-group stats when
+  a mutation invalidated the projection); :func:`lsh_near_dup_pairs_stored`
+  reads ``_bk``/``_q``/``_n2`` straight from the index.  All re-rank with
+  the STORED quantized columns — Python never re-touches the raw vectors.
 
 Results are bit-identical to the in-flight operators in
 ``operators/similarity.py`` (same quantization lattice, same integer plane
