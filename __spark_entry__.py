@@ -257,8 +257,18 @@ def _nd_index(spark, sf_dir):
     if sf_dir in _ND_IDX:
         return _ND_IDX[sf_dir]
     src = f"{sf_dir}/lineitem.parquet"
+    # Build parameters (NDConfig + build kwargs) are part of the cache
+    # key: changing any of them in code must miss the on-disk memo, not
+    # silently reuse a stale layout (ADVICE r4 — the old key was a
+    # hand-maintained version literal).
+    box = nd.NDBox((("xmin", "xmax"), ("ymin", "ymax"), ("wmin", "wmax")))
+    conf3 = nd.NDConfig(
+        axes=((0.0, 1.0),) * 3, grid_bits=10, target_partitions=16
+    )
+    build_kwargs = {"max_records_per_file": 20_000}
     tag = hashlib.md5(
-        f"{sf_dir}|nd3|{os.path.getmtime(src)}|layout-v1".encode()
+        f"{sf_dir}|nd3|{os.path.getmtime(src)}|{conf3!r}|{box.dims!r}|"
+        f"{sorted(build_kwargs.items())!r}".encode()
     ).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_nd_{tag}")
     try:
@@ -266,13 +276,7 @@ def _nd_index(spark, sf_dir):
     except FileNotFoundError:
         td.register_views(spark, sf_dir)
         df = spark.sql(td.RECTS3D_SQL)
-        box = nd.NDBox((("xmin", "xmax"), ("ymin", "ymax"), ("wmin", "wmax")))
-        conf3 = nd.NDConfig(
-            axes=((0.0, 1.0),) * 3, grid_bits=10, target_partitions=16
-        )
-        idx = nd.build_index_nd(
-            df, path, conf3, box, max_records_per_file=20_000
-        )
+        idx = nd.build_index_nd(df, path, conf3, box, **build_kwargs)
     _ND_IDX[sf_dir] = idx
     return idx
 

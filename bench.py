@@ -25,6 +25,53 @@ from libspatialindex_spark.session import get_spark
 from libspatialindex_spark.sources import testdata as td
 
 
+def _ab_extras() -> dict:
+    """Fold in the last stored-vs-inflight / methodology A/B medians
+    (scripts/ab_ann_stored.py, scripts/ab_dedup_methodology.py write
+    ab_last.json) so rounds can machine-compare ratios (VERDICT r4 #8)."""
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ab_last.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return {"ab": json.load(f)}
+
+
+def _trim_for_stdout(record: dict, budget: int = 2000) -> str:
+    """Compact record that fits the driver's tail capture (VERDICT r4 #3).
+
+    The driver reads the LAST `budget` bytes of stdout; the full record
+    (~3 KB with the io/ab sections) lives in BENCH_LAST.json.  Keep the
+    contract fields (metric/value/unit/queries/sf) plus headline numbers,
+    then add optional sections only while they fit.
+    """
+    core = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": record["unit"],
+        "queries": record["queries"],
+        "sf": record["sf"],
+    }
+    line = json.dumps(core, separators=(",", ":"))
+    if len(line) > budget - 10:
+        # Last resort: shorten query keys to their qNN prefix.
+        core["queries"] = {
+            k.split("_")[0]: v for k, v in record["queries"].items()
+        }
+        line = json.dumps(core, separators=(",", ":"))
+    for extra in (
+        "pipeline_wall_sec", "n_images", "n_join_rows", "cpus",
+        "scaling_efficiency_weak", "scaling_efficiency_join_tile",
+        "index_speedup", "index_prune_factor", "build_sec",
+    ):
+        if extra not in record:
+            continue
+        cand = dict(core, **{extra: record[extra]})
+        cline = json.dumps(cand, separators=(",", ":"))
+        if len(cline) <= budget - 10:
+            core, line = cand, cline
+    return line
+
+
 def _scaling_extras() -> dict:
     """Fold in the last N-vs-4N scaling run (scripts/bench_scaling.py)."""
     p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling_last.json")
@@ -203,16 +250,18 @@ def main() -> None:
         "index_prune_factor": round(total_rows / max(pruned_rows, 1.0), 1),
         "io": io_acct,
         **_scaling_extras(),
+        **_ab_extras(),
     }
-    # Durable copy first (VERDICT r3 #4: the stdout line outgrew the
+    # Durable full copy first (VERDICT r3 #4: the stdout line outgrew the
     # driver's tail capture and r3's per-query timings were lost) …
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_LAST.json"), "w") as f:
         json.dump(record, f, separators=(",", ":"))
         f.write("\n")
-    # … then the contract's single stdout line, compact to maximize the
-    # chance it fits whatever tail window reads it.
-    print(json.dumps(record, separators=(",", ":")), flush=True)
+    # … then the contract's single stdout line, TRIMMED to fit the
+    # driver's 2000-byte tail capture (VERDICT r4 #3: full record was
+    # ~2.9 KB and parsed null two rounds running).
+    print(_trim_for_stdout(record), flush=True)
 
 
 if __name__ == "__main__":

@@ -238,7 +238,13 @@ def connected_components(
         # driver-side just to be discarded
         n_edges = pairs.select(a_col).limit(driver_threshold + 1).count()
         if n_edges <= driver_threshold:
-            head = pairs.select(a_col, b_col).collect()
+            # limit() again on the collect: the probe and the collect are
+            # two separate jobs, and for an uncached nondeterministic
+            # pairs plan the second job recomputes — a drifted row count
+            # must not pull unbounded rows onto the driver (ADVICE r4).
+            # For the deterministic/checkpointed plans all callers pass,
+            # the limit is a no-op.
+            head = pairs.select(a_col, b_col).limit(driver_threshold).collect()
             parent: dict = {}
 
             def find(x):

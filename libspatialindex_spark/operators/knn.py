@@ -220,35 +220,54 @@ def knn_segment_query(
         sxmin, symin, sxmax, symax,
     )
 
-    def candidates(radius: float, cap: bool = True) -> DataFrame:
-        if radius < world_r:
+    def projected(radius) -> DataFrame:
+        """Window-pruned, prefiltered candidates with the segment distance
+        PROJECTED but not yet filtered on.  The exact segment↔box
+        expression is too large for FilterExec's predicate codegen (a
+        Filter condition cannot be method-split the way a Project can), so
+        filtering on the derived column directly runs INTERPRETED — 20-30×
+        slower measured at sf0.1.  Project the distance (codegen, split
+        across methods) and PERSIST; the cap filter then reads a plain
+        cached attribute.  persist/unpersist per ring is deterministic —
+        the previous scheme's per-ring ``localCheckpoint`` blocks leaked
+        into a long-lived session (ADVICE r4)."""
+        if radius is not None:
             df = rel.pruned_for_box(
                 sxmin - radius, symin - radius, sxmax + radius, symax + radius
             ).filter(pre <= radius * radius)
         else:
             df = rel.df
-        # The exact segment↔box expression is too large for FilterExec's
-        # predicate codegen (a Filter condition cannot be method-split the
-        # way a Project can), so filtering on the derived column directly
-        # runs INTERPRETED — 20-30× slower measured at sf0.1.  Project the
-        # distance (codegen, split across methods), cut lineage with a
-        # lazy localCheckpoint so the column becomes a plain attribute,
-        # THEN cap on it.
-        df = df.withColumn(dist_col, d2).localCheckpoint(eager=False)
-        return df.filter(F.col(dist_col) <= radius * radius) if cap else df
+        return df.withColumn(dist_col, d2)
+
+    def emit(cand: DataFrame, radius) -> DataFrame:
+        capped = cand if radius is None else cand.filter(
+            F.col(dist_col) <= F.lit(radius * radius)
+        )
+        return _emit_tie_inclusive(capped, k, dist_col)
 
     seeded = _seed_radius_segment(rel, x1, y1, x2, y2, k)
     if seeded is not None:
-        cand = candidates(seeded)
-    else:
-        radius = conf.knn_ring_init
-        cand = candidates(radius)
-        while radius < world_r and cand.limit(k).count() < k:
-            radius *= conf.knn_ring_growth
-            cand = candidates(radius)
-        if radius >= world_r:
-            cand = candidates(world_r, cap=False)
-    return _emit_tie_inclusive(cand, k, dist_col)
+        cand = projected(seeded).persist()
+        try:
+            return emit(cand, seeded)
+        finally:
+            cand.unpersist()
+    radius = conf.knn_ring_init
+    while radius < world_r:
+        cand = projected(radius).persist()
+        try:
+            if cand.filter(
+                F.col(dist_col) <= F.lit(radius * radius)
+            ).limit(k).count() >= k:
+                return emit(cand, radius)
+        finally:
+            cand.unpersist()
+        radius *= conf.knn_ring_growth
+    cand = projected(None).persist()
+    try:
+        return emit(cand, None)
+    finally:
+        cand.unpersist()
 
 
 def knn_query_custom(
@@ -287,12 +306,19 @@ def _knn_join_seed_round(
     """Histogram-seeded single-pass round for :func:`knn_join`.
 
     A center-cell histogram (one groupBy, ≤ 64×64 rows to the driver)
-    gives every query a CERTIFIED radius: order cells by min query↔cell
+    gives every query a seed radius: order cells by min query↔cell
     distance, accumulate counts to ≥ k, take the max far-corner distance
-    over the used cells — every accumulated entry's box is provably within
-    that radius (box dist ≤ center dist ≤ cell far corner).  Radii are
-    computed per query in an Arrow-batched pandas UDF over the broadcast
-    histogram, so the operator stays distributed at any query count.
+    over the used cells.  For entries whose centers lie INSIDE the world
+    the bound is certified (box dist ≤ center dist ≤ cell far corner);
+    centers outside the world are CLAMPED into edge cells
+    (F.least/F.greatest below), for which the far-corner bound does NOT
+    hold — the radius is a heuristic there, and the downstream
+    ``_cnt >= k`` filter in :func:`knn_join` is the actual certification
+    (queries whose seed window under-collects fall through to the
+    doubling rounds).  Do not rely on the seed alone in refactors
+    (ADVICE r4).  Radii are computed per query in an Arrow-batched pandas
+    UDF over the broadcast histogram, so the operator stays distributed
+    at any query count.
     Returns (result_rows, resolved_qids) — both localCheckpointed — or
     None when seeding cannot certify (empty relation, k ≥ N)."""
     from pyspark.sql.functions import pandas_udf

@@ -158,6 +158,15 @@ def point_in_box_join(
     Otherwise a cell-keyed shuffle join; ``salt`` replicates box rows per
     salt bucket so a hot cell (skewed point pile-up) spreads over ``salt``
     reducers while point rows stay single-copy.
+
+    ``salt=None`` (default) derives the salt factor from DATA STATS: a
+    per-cell point histogram (map-side combined — ≤ ``4**join_bits`` rows
+    ever shuffle, one scalar reaches the driver) finds the hottest cell;
+    if it exceeds ``hot_cell_threshold`` rows the join is salted with
+    ``ceil(max_cell / threshold)`` capped at ``conf.hot_cell_salt``, else
+    unsalted (the LISA stats-driven-cut precedent,
+    ``src/learnedindex/BulkLoader.cc:543-556``).  Pass ``salt=0``/``1`` to
+    force unsalted, ``salt>=2`` to force a fan-out and skip the stats job.
     """
     n = 1 << join_bits
     bcells = _cells_of_box(boxes, box, n, conf.world)
@@ -170,6 +179,18 @@ def point_in_box_join(
     )
     if broadcast_boxes:
         return pts.join(F.broadcast(bcells), on="cell").filter(inside)
+
+    if salt is None:
+        hottest = pts.groupBy("cell").count().agg(
+            F.max("count").alias("m")
+        ).first()["m"]
+        if hottest is None or hottest <= hot_cell_threshold:
+            salt = 0
+        else:
+            salt = min(
+                getattr(conf, "hot_cell_salt", 16),
+                -(-int(hottest) // hot_cell_threshold),
+            )
 
     if salt and salt > 1:
         bsalted = bcells.withColumn(

@@ -80,11 +80,17 @@ def track_moving_stream(
 ) -> DataFrame:
     """Streaming latest-report tracker: emits (id, epoch, x, y, vx, vy)
     whenever an object's newest report advances.  ``updates`` is a
-    streaming DataFrame of position reports."""
+    streaming DataFrame of position reports.
+
+    Object ids are LONG in the output (``OUT_SCHEMA``): the id column is
+    cast explicitly so integer-family ids of any width work; string or
+    decimal object ids are not supported by this operator (map them to a
+    dense long id upstream — standard practice for a state-store key,
+    which hashes and serializes per row) (ADVICE r4)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     prepared = updates.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).cast("long").alias("id"),
         F.col(epoch_col).cast("long").alias("epoch"),
         F.col(x_col).alias("x"),
         F.col(y_col).alias("y"),

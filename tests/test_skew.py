@@ -54,3 +54,37 @@ def test_salted_join_equals_broadcast_under_skew(skewed):
     # the hot polygon really dominates (skew is being exercised)
     hot = sum(1 for _, pid in want if pid == 1)
     assert hot > 0.5 * len(want)
+
+
+def test_auto_salt_from_hot_cell_threshold(skewed):
+    """salt=None derives the fan-out from the per-cell histogram: with a
+    tiny hot_cell_threshold the hot cell trips auto-salting, and the
+    result set is EXACTLY the broadcast join's (the wiring fix for the
+    r4 dead-parameter finding)."""
+    conf, imgs, polys = skewed
+    box = pipeline.POLY_BOX
+    want = {
+        (r.image_id, r.poly_id)
+        for r in spatial_join.point_in_box_join(
+            imgs, polys, "x", "y", box, conf, broadcast_boxes=True
+        ).select("image_id", "poly_id").collect()
+    }
+    auto = {
+        (r.image_id, r.poly_id)
+        for r in spatial_join.point_in_box_join(
+            imgs, polys, "x", "y", box, conf,
+            broadcast_boxes=False, salt=None, hot_cell_threshold=50,
+        ).select("image_id", "poly_id").collect()
+    }
+    assert auto == want
+    # and with a huge threshold the stats probe decides NOT to salt,
+    # still exact
+    unsalted = {
+        (r.image_id, r.poly_id)
+        for r in spatial_join.point_in_box_join(
+            imgs, polys, "x", "y", box, conf,
+            broadcast_boxes=False, salt=None,
+            hot_cell_threshold=10_000_000,
+        ).select("image_id", "poly_id").collect()
+    }
+    assert unsalted == want
