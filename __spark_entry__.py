@@ -701,6 +701,19 @@ def q51_user_sessions(spark, sf_dir):
     return events.session_counts(ev, gap_seconds=1800)
 
 
+def q57_audio_features(spark, sf_dir):
+    """REAL audio decode + features (the multimodal audio de-stub): one
+    deterministic mono PCM-16 WAV clip per document, encoded AND decoded
+    by the pure-Python codec (sources/wav.py) inside Arrow-batched
+    stages, reduced to duration / RMS / zero-crossing rate / peak.  The
+    oracle reproduces every sample in closed form (integer arithmetic is
+    bit-identical across numpy and DuckDB; PCM16 round-trips losslessly),
+    so the feature doubles must match bit-exactly."""
+    from libspatialindex_spark.operators import multimodal
+
+    return multimodal.audio_features(td.audio_clips(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_range_intersects": q01_range_intersects,
@@ -753,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_embed_dedup_groups": q52_embed_dedup_groups,
         "q50_event_hourly_rollup": q50_event_hourly_rollup,
         "q51_user_sessions": q51_user_sessions,
+        "q57_audio_features": q57_audio_features,
     }
 
 
@@ -1571,6 +1585,37 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id
+        """,
+        # Mirrors sources/wav.synth_pcm verbatim: h(i) = (clip_id*MUL +
+        # i*IMUL + ADD) mod 2^31, s(i) = h mod 65536 - 32768 — integer
+        # arithmetic, bit-identical across engines.  vn is s(i+1) in
+        # closed form, so the zero-crossing count needs no window.  The
+        # int64 sum of squares stays < 2^53, so the double rms is exact.
+        "q57_audio_features": """
+            WITH p AS (
+              SELECT doc_id AS clip_id,
+                     CAST(800 + (doc_id % 50) * 160 AS BIGINT) AS n
+              FROM documents
+            ), s AS (
+              SELECT p.clip_id, p.n, g.i,
+                     ((p.clip_id * 1103515245 + g.i * 12345 + 6789)
+                      % 2147483648) % 65536 - 32768 AS v,
+                     ((p.clip_id * 1103515245 + (g.i + 1) * 12345 + 6789)
+                      % 2147483648) % 65536 - 32768 AS vn
+              FROM p, LATERAL (
+                SELECT unnest(generate_series(0, p.n - 1)) AS i
+              ) g
+            )
+            SELECT clip_id,
+                   16000 AS sample_rate,
+                   max(n) AS n_samples,
+                   CAST(max(n) AS DOUBLE) / 16000 AS duration,
+                   sqrt(CAST(sum(v * v) AS DOUBLE) / max(n)) AS rms,
+                   CAST(sum(CASE WHEN i < n - 1 AND ((v < 0) != (vn < 0))
+                            THEN 1 ELSE 0 END) AS DOUBLE)
+                     / (max(n) - 1) AS zcr,
+                   max(CASE WHEN v < 0 THEN -v ELSE v END) AS peak
+            FROM s GROUP BY clip_id
         """,
         "q43_embed_near_dup": """
             WITH qv AS (

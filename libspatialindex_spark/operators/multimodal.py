@@ -7,9 +7,12 @@ container, so per the build brief:
 
 * **image**: REAL — the pure-Python PNG/fake-JPEG codecs
   (``sources/png.py``) back decode/resize/feature extraction;
-* **audio / video**: STUBBED — ``NotImplementedError`` behind the same
-  batch interface, plus a deterministic fake frame-sampler for ``video/x-
-  fake`` payloads so the plumbing is exercised end to end.
+* **audio**: REAL — the pure-Python WAV/PCM codec (``sources/wav.py``)
+  backs decode/features/resample; compressed codecs (mp3/flac/…) raise
+  ``NotImplementedError`` behind the same batch interface;
+* **video**: STUBBED — real containers raise ``NotImplementedError``;
+  a deterministic fake frame-sampler for ``video/x-fake`` payloads keeps
+  the plumbing exercised end to end.
 
 All operators are ``mapInPandas`` stages: Arrow-batched, no per-row Python
 round trips through the JVM, schema declared up front so Catalyst can
@@ -82,23 +85,93 @@ def image_resize(images: DataFrame, size: int = 8) -> DataFrame:
     return images.mapInPandas(work, schema)
 
 
+AUDIO_FEATURE_SCHEMA = (
+    "clip_id long, sample_rate int, n_samples long, duration double, "
+    "rms double, zcr double, peak long"
+)
+
+
 def audio_features(audio: DataFrame) -> DataFrame:
-    """STUB — audio decoding needs a codec library not present here.
-    The operator shape (schema in/out, Arrow batching) is the real
-    contract; swap the body for librosa/ffmpeg on a full cluster."""
+    """REAL audio decode + features (r4 de-stub): WAV/PCM payloads are
+    decoded by the pure-Python codec (``sources/wav.py``) and reduced to
+
+    * ``duration`` — seconds (= n_samples / sample_rate),
+    * ``rms`` — sqrt(mean(sample²)) over all samples & channels
+      (the integer sum of squares is exact in int64, so the double result
+      is bit-deterministic — oracle-comparable),
+    * ``zcr`` — zero-crossing rate of channel 0: fraction of adjacent
+      pairs whose sign bit differs (denominator n−1),
+    * ``peak`` — max |sample|.
+
+    Input needs (clip_id, bytes, codec); ``codec`` must be ``"wav"`` —
+    compressed codecs raise ``NotImplementedError`` (no mp3/flac library
+    in this container; the Arrow-batched operator shape is the contract
+    to keep when swapping one in)."""
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "audio decode requires an audio codec library (not in this "
-            "container); plumbing contract: input (clip_id string, bytes "
-            "binary, codec string) -> output (clip_id string, duration "
-            "double, rms double)"
-        )
-        yield  # pragma: no cover
+        from libspatialindex_spark.sources import wav as wavcodec
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "clip_id", "sample_rate", "n_samples", "duration",
+                "rms", "zcr", "peak",
+            )}
+            for cid, data, codec_name in zip(
+                pdf["clip_id"], pdf["bytes"], pdf["codec"]
+            ):
+                if codec_name != "wav":
+                    raise NotImplementedError(
+                        f"audio codec {codec_name!r} requires a codec "
+                        "library not in this container (only 'wav' PCM "
+                        "is decoded natively)"
+                    )
+                samples, rate = wavcodec.wav_decode(bytes(data))
+                n = samples.shape[0]
+                s64 = samples.astype(np.int64)
+                sum_sq = int((s64 * s64).sum())
+                c0 = s64[:, 0]
+                flips = int(((c0[:-1] < 0) != (c0[1:] < 0)).sum()) if n > 1 else 0
+                out["clip_id"].append(int(cid))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration"].append(n / rate)
+                out["rms"].append(
+                    float(np.sqrt(float(sum_sq) / (n * samples.shape[1])))
+                    if n else 0.0
+                )
+                out["zcr"].append(flips / (n - 1) if n > 1 else 0.0)
+                out["peak"].append(int(np.abs(s64).max()) if n else 0)
+            yield pd.DataFrame(out)
 
     return audio.select("clip_id", "bytes", "codec").mapInPandas(
-        work, "clip_id string, duration double, rms double"
+        work, AUDIO_FEATURE_SCHEMA
     )
+
+
+def audio_resample(audio: DataFrame, dst_rate: int) -> DataFrame:
+    """Decode → linear-interpolation resample → re-encode WAV.  Schema
+    preserved except the payload bytes (and their embedded sample rate).
+    Same rejection rule as :func:`audio_features` for non-WAV codecs."""
+    schema = audio.schema
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from libspatialindex_spark.sources import wav as wavcodec
+
+        for pdf in batches:
+            blobs = []
+            for data, codec_name in zip(pdf["bytes"], pdf["codec"]):
+                if codec_name != "wav":
+                    raise NotImplementedError(
+                        f"audio codec {codec_name!r} not decodable here"
+                    )
+                samples, rate = wavcodec.wav_decode(bytes(data))
+                res = wavcodec.resample_linear(samples, rate, dst_rate)
+                blobs.append(wavcodec.wav_encode(res, dst_rate))
+            pdf = pdf.copy()
+            pdf["bytes"] = blobs
+            yield pdf
+
+    return audio.mapInPandas(work, schema)
 
 
 _FAKE_VIDEO_MAGIC = b"FAKEVID0"

@@ -216,3 +216,35 @@ def points(spark: SparkSession, sf_dir: str) -> DataFrame:
 def polys(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(POLYS_SQL)
+
+
+def audio_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WAV clip table derived from ``documents``: one mono
+    PCM-16 clip per doc_id, synthesized by the closed-form integer
+    generator (``sources/wav.synth_pcm``) and encoded by the real WAV
+    codec INSIDE an Arrow-batched stage — so downstream audio operators
+    exercise a true binary decode path while the q57 DuckDB oracle can
+    reproduce every sample from (doc_id, i) alone.
+
+    Columns: (clip_id long, bytes binary, codec string)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from libspatialindex_spark.sources import wav as wavcodec
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            blobs = [
+                wavcodec.wav_encode(
+                    wavcodec.synth_pcm(int(cid)), wavcodec.SYNTH_RATE
+                )
+                for cid in ids
+            ]
+            yield pd.DataFrame(
+                {"clip_id": ids, "bytes": blobs, "codec": "wav"}
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(work, "clip_id long, bytes binary, codec string")
