@@ -596,7 +596,7 @@ def q42_ann_lsh(spark, sf_dir):
     return ann_index.ann_lsh_cosine_stored(idx, _qvec(spark, sf_dir), ANN_K)
 
 
-IVF_STRIDE, IVF_PROBE = 31, 6
+IVF_STRIDE, IVF_PROBE, IVF_TRAIN_STRIDE = 31, 6, 1
 
 # Per-process memo of the stored ANN index (build-once / query-many — the
 # reference's loadRTree contract): q42/q44/q45 share one build per sf_dir.
@@ -613,16 +613,24 @@ def _ann_index(spark, sf_dir):
     if sf_dir in _ANN_IDX:
         return _ANN_IDX[sf_dir]
     src = f"{sf_dir}/embeddings.parquet"
+    # Build parameters are part of the cache key (ADVICE r4 on _nd_index
+    # — same fix here): changing them misses the on-disk memo instead of
+    # silently reusing a stale layout/centroid set.
+    build_kwargs = {
+        "stride": IVF_STRIDE, "train_stride": 1, "lloyd_rounds": 2,
+        "bands": LSH_BANDS, "rows_per_band": LSH_ROWS,
+        "n_planes": 8, "seed": 42,
+    }
     tag = hashlib.md5(
-        f"{sf_dir}|{os.path.getmtime(src)}|layout-v2".encode()
+        f"{sf_dir}|{os.path.getmtime(src)}|{sorted(build_kwargs.items())!r}"
+        "|layout-v3".encode()
     ).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_ann_{tag}")
     try:
         idx = ann_index.load_ann_index(spark, path)
     except FileNotFoundError:
         idx = ann_index.build_ann_index(
-            spark.read.parquet(src), path, stride=IVF_STRIDE,
-            bands=LSH_BANDS, rows_per_band=LSH_ROWS, n_planes=8, seed=42,
+            spark.read.parquet(src), path, **build_kwargs
         )
     _ANN_IDX[sf_dir] = idx
     return idx
@@ -1023,18 +1031,63 @@ def _ann_lsh_oracle() -> str:
 
 
 def _ann_ivf_oracle() -> str:
-    """q45: same-table centroid reconstruction (vec_id % stride = 0),
-    integer-L2 assignment with (dist, c) tie order, probe set = n_probe
-    nearest lists to vec 0, tie-inclusive quantized-cosine top-k."""
-    cdist = (
-        "CAST(list_aggregate(list_transform(generate_series(1, 64), "
-        "i -> (v.q[i] - ct.cq[i]) * (v.q[i] - ct.cq[i])), 'sum') AS BIGINT)"
-    )
+    """q45: full reconstruction of the seeded integer-Lloyd k-means
+    (``similarity.ivf_kmeans_centroids`` — VERDICT r4 #4): init = every
+    31st training row in vec_id order, two unrolled Lloyd rounds
+    (assignment by exact int64 L2 with (dist, j) tie order; update =
+    per-dimension TRUNCATED mean, DuckDB ``//`` and numpy's
+    sign·(|s|//n) both truncate toward zero; empty clusters keep their
+    centroid), then assignment of the full table, probe set = n_probe
+    nearest lists to vec 0, tie-inclusive quantized-cosine top-k.  Every
+    step is integer math, so the centroids — not just the result — are a
+    cross-engine fact."""
+
+    def dist(qexpr: str, cexpr: str) -> str:
+        return (
+            "CAST(list_aggregate(list_transform(generate_series(1, 64), "
+            f"i -> ({qexpr}[i] - {cexpr}[i]) * ({qexpr}[i] - {cexpr}[i])"
+            "), 'sum') AS BIGINT)"
+        )
+
+    def lloyd_round(prev: str, nxt: str) -> str:
+        """One assignment+update round: centroids ``prev``(j, cq) →
+        ``nxt``(j, cq)."""
+        return f"""
+        a_{nxt} AS (
+          SELECT vec_id, j FROM (
+            SELECT s.vec_id, c.j,
+              ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                 ORDER BY {dist("s.q", "c.cq")}, c.j) AS rk
+            FROM samp s, {prev} c
+          ) WHERE rk = 1
+        ),
+        u_{nxt} AS (
+          SELECT a.j, d.i,
+            CAST(SUM(s.q[d.i]) AS BIGINT) // COUNT(*) AS cm
+          FROM a_{nxt} a JOIN samp s USING (vec_id),
+               generate_series(1, 64) AS d(i)
+          GROUP BY a.j, d.i
+        ),
+        g_{nxt} AS (SELECT j, list(cm ORDER BY i) AS cq FROM u_{nxt} GROUP BY j),
+        {nxt} AS (
+          SELECT p.j, COALESCE(g.cq, p.cq) AS cq
+          FROM {prev} p LEFT JOIN g_{nxt} g USING (j)
+        )"""
+
+    cdist = dist("v.q", "ct.cq")
     return f"""
         WITH qv AS ({_QV}),
-        ct AS (
-          SELECT vec_id AS c, q AS cq FROM qv WHERE vec_id % {IVF_STRIDE} = 0
+        samp AS (
+          SELECT vec_id, q, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn
+          FROM qv WHERE vec_id % {IVF_TRAIN_STRIDE} = 0
         ),
+        c0 AS (
+          SELECT rn // {IVF_STRIDE} AS j, q AS cq
+          FROM samp WHERE rn % {IVF_STRIDE} = 0
+        ),
+        {lloyd_round("c0", "c1")},
+        {lloyd_round("c1", "c2")},
+        ct AS (SELECT j AS c, cq FROM c2),
         d AS (SELECT v.vec_id, ct.c, {cdist} AS dist FROM qv v, ct),
         assign AS (
           SELECT vec_id, c FROM (

@@ -212,6 +212,17 @@ def main() -> None:
         io_acct["ann_sig_probe"] = {
             "partitions_planned": len(sparts), "partitions_total": stotal,
         }
+    # IVF recall@k at the fixed probe budget vs the exact brute-force
+    # top-k (VERDICT r4 #4 done-criterion): with the k-means coarse
+    # quantizer, how much of the true answer do the probed lists hold
+    # per file read?
+    brute_ids = {r.vec_id for r in entrymod.q41_ann_cosine(spark, sf_dir).collect()}
+    ivf_ids = {r.vec_id for r in entrymod.q45_ann_ivf(spark, sf_dir).collect()}
+    io_acct["ivf_recall"] = {
+        "recall_at_k": round(len(brute_ids & ivf_ids) / max(len(brute_ids), 1), 4),
+        "n_probe": entrymod.IVF_PROBE,
+        "n_lists": int(len(aidx.cids)),
+    }
 
     # Codec stages are CPU-bound: split their input by compute, not IO
     # (128MB default splits collapse the small image table into a handful

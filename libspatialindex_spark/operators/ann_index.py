@@ -52,12 +52,12 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from libspatialindex_spark.operators import similarity
 from libspatialindex_spark.operators.similarity import (
     QUANT_SCALE,
     _quant_cos_cols,
     band_keys_udf,
     ivf_cell_udf,
-    ivf_centroids_from_data,
     quant_py,
     quantized_planes,
 )
@@ -79,6 +79,8 @@ class StoredAnnIndex:
     id_col: str
     cids: np.ndarray  # (n_cells,) int64 centroid ids
     C: np.ndarray  # (n_cells, dim) int64 quantized centroids
+    train_stride: int = 1  # k-means sample stride (manifest provenance)
+    lloyd_rounds: int = 2
 
     @property
     def data_path(self) -> str:
@@ -155,24 +157,31 @@ def build_ann_index(
     rows_per_band: int = 4,
     seed: int = 42,
     stride: int = 31,
+    train_stride: int = 1,
+    lloyd_rounds: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_records_per_file: int | None = 1 << 20,
 ) -> StoredAnnIndex:
     """One-pass materialization of every similarity-index column.
 
-    The centroid fit reuses :func:`ivf_centroids_from_data` (strided
-    sample — at real scale swap in an offline k-means over a sample; the
-    stored layout and query plans are unchanged), runs ONCE, and persists
-    in the manifest — queries never collect vectors again.  The signature
-    is the banded-keys kernel with one band of ``n_planes`` rows: exactly
-    the packed sign bits the in-flight ``ann_lsh_cosine`` computes, but as
-    one Arrow-batched integer matmul."""
+    The centroid fit is a seeded integer-Lloyd k-means over a strided
+    sample (:func:`similarity.ivf_kmeans_centroids` — VERDICT r4 #4
+    replaced the strided-vector placeholder; ``stride`` is the init
+    stride controlling the list count, ``train_stride`` the sample
+    stride), runs ONCE, and persists in the manifest — queries never
+    collect vectors again.  The signature is the banded-keys kernel with
+    one band of ``n_planes`` rows: exactly the packed sign bits the
+    in-flight ``ann_lsh_cosine`` computes, but as one Arrow-batched
+    integer matmul."""
     spark = df.sparkSession
     fs = FS.get_fs(spark, path)
     data_path = FS.join(path, "data")
 
-    cids, C = ivf_centroids_from_data(df, stride, vec_col, id_col)
+    cids, C = similarity.ivf_kmeans_centroids(
+        df, train_stride=train_stride, init_every=stride,
+        rounds=lloyd_rounds, vec_col=vec_col, id_col=id_col,
+    )
     planes_b = quantized_planes(dim, bands * rows_per_band, seed)
     planes_s = quantized_planes(dim, n_planes, seed)
     qv, n2 = _quant_cos_cols(vec_col)
@@ -222,6 +231,8 @@ def build_ann_index(
         "rows_per_band": rows_per_band,
         "seed": seed,
         "stride": stride,
+        "train_stride": train_stride,
+        "lloyd_rounds": lloyd_rounds,
         "id_col": id_col,
         "quant_scale": QUANT_SCALE,
         "cids": [int(c) for c in cids],
@@ -231,7 +242,7 @@ def build_ann_index(
     idx = StoredAnnIndex(
         spark=spark, path=path, dim=dim, n_planes=n_planes, bands=bands,
         rows_per_band=rows_per_band, seed=seed, stride=stride, id_col=id_col,
-        cids=cids, C=C,
+        cids=cids, C=C, train_stride=train_stride, lloyd_rounds=lloyd_rounds,
     )
     refresh_sig_projection(idx)
     return idx
@@ -346,6 +357,8 @@ def load_ann_index(spark: SparkSession, path: str) -> StoredAnnIndex:
         seed=int(d["seed"]), stride=int(d["stride"]), id_col=d["id_col"],
         cids=np.array(d["cids"], dtype=np.int64),
         C=np.array(d["centroids"], dtype=np.int64),
+        train_stride=int(d.get("train_stride", 1)),
+        lloyd_rounds=int(d.get("lloyd_rounds", 2)),
     )
 
 

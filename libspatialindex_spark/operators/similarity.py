@@ -381,6 +381,67 @@ def ivf_centroids_from_data(
     return cids, C
 
 
+# k-means fit defaults — mirrored verbatim by the q45 oracle SQL
+IVF_TRAIN_STRIDE = 1  # training-sample stride (raise at real scale)
+IVF_INIT_EVERY = 31   # row-number stride of the init centroids
+IVF_LLOYD_ROUNDS = 2
+
+
+def ivf_kmeans_centroids(
+    df: DataFrame,
+    train_stride: int = IVF_TRAIN_STRIDE,
+    init_every: int = IVF_INIT_EVERY,
+    rounds: int = IVF_LLOYD_ROUNDS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF coarse quantizer by INTEGER-ARITHMETIC Lloyd iterations
+    (VERDICT r4 #4 — replaces the strided-vector placeholder): better
+    list balance means more recall per file read at a fixed probe budget.
+
+    Every step is exact integer math so the DuckDB oracle reconstructs
+    the identical centroids by unrolling the rounds as CTEs:
+
+    * training sample = vectors with ``vec_id % train_stride == 0``
+      (driver-sized; raise the stride at real scale — the fit cost is
+      O(|sample| · k · d) per round regardless of table size),
+    * init = every ``init_every``-th sample row in vec_id order,
+    * per round: assign by exact int64 L2 (ties → smallest centroid
+      index), new centroid = per-dimension TRUNCATED mean
+      (``sign(s) * (|s| // count)`` — numpy and SQL ``//`` agree on
+      truncation toward zero for the replica), empty clusters keep their
+      previous centroid.
+
+    Returns ``(cids, C)`` with ``cids = 0..k-1`` (centroid INDEX is the
+    cell id — unlike the strided fit, centroids are no longer data
+    vectors)."""
+    rows = df.filter(F.col(id_col) % train_stride == 0).select(
+        id_col, vec_col
+    ).collect()
+    rows.sort(key=lambda r: r[0])
+    S = np.array(
+        [[quant_py(v) for v in r[1]] for r in rows], dtype=np.int64
+    )
+    if len(S) == 0:
+        return np.array([], dtype=np.int64), S.reshape(0, 0)
+    C = S[::init_every].copy()
+    k = C.shape[0]
+    s_n2 = (S * S).sum(axis=1)
+    for _ in range(rounds):
+        # exact int64 L2 via the expansion (values stay ≪ 2^63)
+        d = s_n2[:, None] + (C * C).sum(axis=1)[None, :] - 2 * (S @ C.T)
+        lab = d.argmin(axis=1)  # first occurrence = smallest index on ties
+        newC = C.copy()
+        for j in range(k):
+            m = lab == j
+            if m.any():
+                s = S[m].sum(axis=0)
+                cnt = int(m.sum())
+                newC[j] = np.sign(s) * (np.abs(s) // cnt)
+        C = newC
+    return np.arange(k, dtype=np.int64), C
+
+
 def ivf_cell_udf(cids: np.ndarray, C: np.ndarray):
     """Arrow-batched IVF assignment: integer L2 to every centroid, argmin
     (ties → smallest centroid id; centroid rows are id-ascending).  Exact
@@ -415,8 +476,12 @@ def ann_ivf_cosine(
     At 100 TB the ``_cell`` column is materialized at build time and the
     probe set is a partition-pruning IN-list — the same machinery as the
     spatial Z-cover; here it is computed in-flight for the differential
-    oracle."""
-    cids, C = ivf_centroids_from_data(df, stride, vec_col, id_col)
+    oracle.  Centroids come from the same integer-Lloyd k-means as the
+    stored index (``stride`` = init stride), so stored and in-flight
+    paths stay result-identical."""
+    cids, C = ivf_kmeans_centroids(
+        df, init_every=stride, vec_col=vec_col, id_col=id_col
+    )
     qq = np.array([quant_py(v) for v in qvec], dtype=np.int64)
     qd = ((C - qq[None, :]) ** 2).sum(axis=1)
     probes = [int(c) for c in cids[np.argsort(qd, kind="stable")[:n_probe]]]

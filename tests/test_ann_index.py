@@ -266,3 +266,51 @@ def test_lsh_stored_fallback_after_mutation(spark, emb, qvec, tmp_path_factory):
         for r in ann_index.ann_lsh_cosine_stored(idx, qvec, K).collect()
     }
     assert got2 == want  # projection path
+
+
+def test_kmeans_centroids_balance_and_determinism(spark, emb):
+    """VERDICT r4 #4: the IVF coarse quantizer is a seeded integer-Lloyd
+    k-means — deterministic (oracle-reconstructible), with bounded list
+    imbalance, and at least as balanced as the old strided-init it
+    replaced on a skewed fixture (list balance = recall per file read at
+    a fixed probe budget)."""
+    import numpy as np
+
+    cids1, C1 = similarity.ivf_kmeans_centroids(emb, init_every=31)
+    cids2, C2 = similarity.ivf_kmeans_centroids(emb, init_every=31)
+    assert (cids1 == cids2).all() and (C1 == C2).all()  # seeded
+    assert (cids1 == np.arange(len(cids1))).all()  # cell id = index
+
+    def assign_counts(S, C):
+        d = (
+            (S * S).sum(1)[:, None]
+            + (C * C).sum(1)[None, :]
+            - 2 * (S @ C.T)
+        )
+        return np.bincount(d.argmin(axis=1), minlength=C.shape[0])
+
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r[0])
+    S = np.array(
+        [[similarity.quant_py(v) for v in r[1]] for r in rows],
+        dtype=np.int64,
+    )
+    cnt = assign_counts(S, C1)
+    assert cnt.max() <= 3 * max(1.0, float(np.median(cnt)))
+
+    # skewed fixture: one dense + two sparse clusters — Lloyd must not be
+    # WORSE than strided init, and the hottest list must shrink
+    rng = np.random.default_rng(5)
+    X = np.vstack([
+        rng.normal(0.8, 0.02, size=(400, 64)),
+        rng.normal(-0.5, 0.3, size=(60, 64)),
+        rng.normal(0.0, 0.5, size=(40, 64)),
+    ])[rng.permutation(500)]
+    skew = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    Ssk = np.floor(X * 100000.0 + 0.5).astype(np.int64)
+    strided = Ssk[::31].copy()
+    _, Ckm = similarity.ivf_kmeans_centroids(skew, init_every=31)
+    assert assign_counts(Ssk, Ckm).max() < assign_counts(Ssk, strided).max()

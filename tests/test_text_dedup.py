@@ -251,7 +251,7 @@ def test_ann_ivf_recall_and_pruning(emb, emb_np):
     got = {r.vec_id for r in ivf.collect()}
     assert len(exact & got) / len(exact) >= 0.9
     # selectivity: candidate set is a strict subset of the table
-    cids, C = similarity.ivf_centroids_from_data(emb, 31)
+    cids, C = similarity.ivf_kmeans_centroids(emb, init_every=31)
     assert 4 <= len(cids) < len(ids)
     qq = np.floor(mat.astype(np.float64) * 100000.0 + 0.5).astype(np.int64)
     d = ((qq[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
