@@ -1,0 +1,169 @@
+"""Fresh-seed randomized differential lane (VERDICT r4 #5).
+
+The reference's harness regenerates random workloads EVERY run
+(``test/rtree/Generator.cc:66-91``: uniform x + ``y^skewness`` point
+data with tiny extents, 0.01×0.01 window queries, 10NN point queries);
+the engine's fixed fixtures re-prove the same seeds each round.  This
+lane regenerates generator-shaped data per run — the oracle is
+recomputed from the same arrays, so the check stays EXACT at any seed.
+
+Seed policy: ``SPARK_GRAFT_FUZZ_SEED`` pins a run for reproduction;
+otherwise the seed derives from the calendar day, so every CI day
+exercises fresh workloads while a red run is reproducible from the
+printed seed.  Three seeds run per invocation.
+
+Any failure found here should be pinned as a fixed regression fixture in
+the main differential suites.
+"""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from libspatialindex_spark.config import EngineConfig
+from libspatialindex_spark.operators import knn, range_query, spatial_join
+from libspatialindex_spark.operators.relation import SpatialRelation
+
+
+def _base_seed() -> int:
+    env = os.environ.get("SPARK_GRAFT_FUZZ_SEED")
+    if env:
+        return int(env)
+    return int(time.time() // 86_400)  # fresh per calendar day
+
+
+BASE = _base_seed()
+SEEDS = [BASE * 3 + j for j in range(3)]
+
+N = 3_000
+EXTENT = 0.002  # tiny boxes, like the generator's point-ish data
+
+
+def _gen(seed: int):
+    """Generator.cc-shaped rects: uniform x, y^skewness y (skew drawn per
+    seed from {1, 5, 20, 100} — test1 uses 100), extents ≤ EXTENT."""
+    rng = np.random.default_rng(seed)
+    skew = rng.choice([1.0, 5.0, 20.0, 100.0])
+    cx = rng.uniform(0.0, 1.0, N)
+    cy = rng.uniform(0.0, 1.0, N) ** skew
+    w = rng.uniform(0.0, EXTENT, N)
+    h = rng.uniform(0.0, EXTENT, N)
+    xmin = np.clip(cx - w / 2, 0.0, 1.0)
+    ymin = np.clip(cy - h / 2, 0.0, 1.0)
+    return {
+        "id": np.arange(N, dtype=np.int64),
+        "xmin": xmin,
+        "ymin": ymin,
+        "xmax": np.minimum(xmin + w, 1.0),
+        "ymax": np.minimum(ymin + h, 1.0),
+    }, rng
+
+
+@pytest.fixture(scope="module", params=SEEDS, ids=[f"seed{s}" for s in SEEDS])
+def workload(request, spark):
+    seed = request.param
+    print(f"\n[fuzz] SPARK_GRAFT_FUZZ_SEED={BASE} (worker seed {seed})")
+    arrs, rng = _gen(seed)
+    df = spark.createDataFrame(
+        [tuple(int(arrs["id"][i]) if c == "id" else float(arrs[c][i])
+               for c in ("id", "xmin", "ymin", "xmax", "ymax"))
+         for i in range(N)],
+        "id long, xmin double, ymin double, xmax double, ymax double",
+    )
+    conf = EngineConfig(target_partitions=8)
+    rel = SpatialRelation(df, conf, max_extent=(EXTENT, EXTENT))
+    return arrs, rng, rel
+
+
+def _oracle_intersects(a, qx1, qy1, qx2, qy2):
+    m = ~(
+        (a["xmin"] > qx2) | (a["xmax"] < qx1)
+        | (a["ymin"] > qy2) | (a["ymax"] < qy1)
+    )
+    return set(a["id"][m])
+
+
+def test_fuzz_windows(workload):
+    """20 fresh 0.01×0.01 windows (Generator.cc:86-91) vs the exhaustive
+    oracle — exact set equality per window."""
+    a, rng, rel = workload
+    for _ in range(20):
+        qx, qy = rng.uniform(0.0, 0.99, 2)
+        got = {
+            r.id
+            for r in range_query.intersects_query(
+                rel, qx, qy, qx + 0.01, qy + 0.01
+            ).collect()
+        }
+        assert got == _oracle_intersects(a, qx, qy, qx + 0.01, qy + 0.01)
+
+
+def test_fuzz_contains_and_point(workload):
+    a, rng, rel = workload
+    qx, qy = rng.uniform(0.0, 0.9, 2)
+    qx2, qy2 = qx + 0.1, qy + 0.1
+    got = {
+        r.id
+        for r in range_query.contains_what_query(rel, qx, qy, qx2, qy2).collect()
+    }
+    m = (
+        (qx <= a["xmin"]) & (a["xmax"] <= qx2)
+        & (qy <= a["ymin"]) & (a["ymax"] <= qy2)
+    )
+    assert got == set(a["id"][m])
+    px, py = rng.uniform(0.0, 1.0, 2)
+    got = {
+        r.id for r in range_query.point_location_query(rel, px, py).collect()
+    }
+    m = (
+        (a["xmin"] <= px) & (px <= a["xmax"])
+        & (a["ymin"] <= py) & (py <= a["ymax"])
+    )
+    assert got == set(a["id"][m])
+
+
+def test_fuzz_10nn(workload):
+    """5 fresh 10NN point queries with the reference tie rule
+    (Exhaustive.cc:157-188: keep everything at distance ≤ the k-th)."""
+    a, rng, rel = workload
+    k = 10
+    for _ in range(5):
+        px, py = rng.uniform(0.0, 1.0, 2)
+        dx = np.maximum.reduce(
+            [a["xmin"] - px, px - a["xmax"], np.zeros(N)]
+        )
+        dy = np.maximum.reduce(
+            [a["ymin"] - py, py - a["ymax"], np.zeros(N)]
+        )
+        d2 = dx * dx + dy * dy
+        kth = np.sort(d2)[k - 1]
+        want = set(a["id"][d2 <= kth])
+        got = {r.id for r in knn.knn_query(rel, px, py, k).collect()}
+        assert got == want
+
+
+def test_fuzz_self_join(workload):
+    """Window-restricted self-join (both orders, Q5 semantics) on a fresh
+    window sized to catch a few hundred pairs under the skewed pile-up."""
+    a, rng, rel = workload
+    qx, qy = rng.uniform(0.0, 0.8, 2)
+    qx2, qy2 = qx + 0.2, qy + 0.2
+    ids = _oracle_intersects(a, qx, qy, qx2, qy2)
+    sub = {i: (a["xmin"][i], a["ymin"][i], a["xmax"][i], a["ymax"][i])
+           for i in ids}
+    want = set()
+    items = list(sub.items())
+    for i, (ia, ba) in enumerate(items):
+        for ib, bb in items:
+            if ia != ib and not (
+                ba[0] > bb[2] or ba[2] < bb[0]
+                or ba[1] > bb[3] or ba[3] < bb[1]
+            ):
+                want.add((ia, ib))
+    got = {
+        (r.id1, r.id2)
+        for r in spatial_join.self_join_query(rel, qx, qy, qx2, qy2).collect()
+    }
+    assert got == want
