@@ -722,6 +722,22 @@ def q57_audio_features(spark, sf_dir):
     return multimodal.audio_features(td.audio_clips(spark, sf_dir))
 
 
+def q58_video_frames(spark, sf_dir):
+    """REAL video container + frame features (the multimodal video
+    de-stub): one deterministic uncompressed-DIB AVI per document
+    (sources/avi.py), frame-sampled every 2nd frame, each sampled frame
+    re-encoded PNG and reduced to mean/max intensity.  Every pixel is a
+    closed-form integer function of (video_id, frame, y, x, channel) and
+    both containers are lossless, so the oracle reproduces the features
+    bit-exactly from generate_series alone."""
+    from libspatialindex_spark.operators import multimodal
+
+    clips = td.video_clips(spark, sf_dir)
+    return multimodal.frame_features(
+        multimodal.video_frame_sample(clips, every=2)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_range_intersects": q01_range_intersects,
@@ -775,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_event_hourly_rollup": q50_event_hourly_rollup,
         "q51_user_sessions": q51_user_sessions,
         "q57_audio_features": q57_audio_features,
+        "q58_video_frames": q58_video_frames,
     }
 
 
@@ -1669,6 +1686,38 @@ def _oracle_sql_base() -> dict[str, str]:
                      / (max(n) - 1) AS zcr,
                    max(CASE WHEN v < 0 THEN -v ELSE v END) AS peak
             FROM s GROUP BY clip_id
+        """,
+        # Mirrors sources/testdata.synth_frames verbatim: pixel(v,f,y,x,c)
+        # = (v*1103515245 + f*97 + y*31 + x*17 + c*7 + 5) mod 256 over
+        # 16×16×3 frames, every 2nd frame sampled.  The integer pixel sum
+        # is exact, so mean_val (one IEEE division by 768) matches the
+        # engine's AVI→PNG round-tripped computation bit-for-bit.
+        "q58_video_frames": """
+            WITH p AS (
+              SELECT doc_id, 4 + doc_id % 8 AS nf FROM documents
+            ), f AS (
+              SELECT p.doc_id, g.fi
+              FROM p, LATERAL (
+                SELECT unnest(generate_series(0, p.nf - 1)) AS fi
+              ) g
+              WHERE g.fi % 2 = 0
+            ), px AS (
+              SELECT f.doc_id, f.fi,
+                SUM((f.doc_id * 1103515245 + f.fi * 97 + ys.y * 31
+                     + xs.x * 17 + cs.c * 7 + 5) % 256) AS s,
+                MAX((f.doc_id * 1103515245 + f.fi * 97 + ys.y * 31
+                     + xs.x * 17 + cs.c * 7 + 5) % 256) AS mx
+              FROM f,
+                (SELECT unnest(generate_series(0, 15)) AS y) ys,
+                (SELECT unnest(generate_series(0, 15)) AS x) xs,
+                (SELECT unnest(generate_series(0, 2)) AS c) cs
+              GROUP BY f.doc_id, f.fi
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS video_id,
+                   CAST(fi AS INTEGER) AS frame_idx,
+                   CAST(s AS DOUBLE) / 768 AS mean_val,
+                   CAST(mx AS BIGINT) AS max_val
+            FROM px
         """,
         "q43_embed_near_dup": """
             WITH qv AS (

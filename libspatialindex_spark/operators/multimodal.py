@@ -10,9 +10,11 @@ container, so per the build brief:
 * **audio**: REAL — the pure-Python WAV/PCM codec (``sources/wav.py``)
   backs decode/features/resample; compressed codecs (mp3/flac/…) raise
   ``NotImplementedError`` behind the same batch interface;
-* **video**: STUBBED — real containers raise ``NotImplementedError``;
-  a deterministic fake frame-sampler for ``video/x-fake`` payloads keeps
-  the plumbing exercised end to end.
+* **video**: REAL container, uncompressed frames — the pure-Python
+  RIFF/AVI DIB codec (``sources/avi.py``) backs frame sampling and
+  per-frame features; compressed codecs (H.264/…) and other containers
+  (mp4/webm) raise ``NotImplementedError``.  The deterministic
+  ``video/x-fake`` container remains as a second test path.
 
 All operators are ``mapInPandas`` stages: Arrow-batched, no per-row Python
 round trips through the JVM, schema declared up front so Catalyst can
@@ -190,21 +192,38 @@ def fake_video_encode(frames: np.ndarray) -> bytes:
 
 
 def video_frame_sample(video: DataFrame, every: int = 2) -> DataFrame:
-    """Sample every ``every``-th frame from fake-video payloads → one row
-    per sampled frame with the frame re-encoded as PNG.  Real codecs raise
-    (stub), fake container decodes for real."""
+    """Sample every ``every``-th frame → one row per sampled frame with
+    the frame re-encoded as PNG.
+
+    Two REAL container paths: ``fmt="avi"`` decodes the standard RIFF/AVI
+    uncompressed-DIB subset (``sources/avi.py`` — r5 de-stub), and
+    ``fmt="x-fake"`` decodes the deterministic test container.
+    Compressed codecs / other containers raise ``NotImplementedError``
+    (no H.264/mp4 library here; the Arrow-batched operator shape is the
+    contract to keep when swapping one in)."""
     import struct
 
     out_schema = "video_id string, frame_idx int, bytes binary"
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from libspatialindex_spark.sources import avi as avicodec
+
         for pdf in batches:
             vids, idxs, blobs = [], [], []
             for vid, data, fmt in zip(pdf["video_id"], pdf["bytes"], pdf["fmt"]):
                 raw = bytes(data)
+                if fmt == "avi":
+                    frames, _fps = avicodec.avi_decode(raw)
+                    for i in range(0, frames.shape[0], every):
+                        vids.append(vid)
+                        idxs.append(i)
+                        blobs.append(codec.png_encode(frames[i]))
+                    continue
                 if fmt != "x-fake" or raw[:8] != _FAKE_VIDEO_MAGIC:
                     raise NotImplementedError(
-                        "real video codecs unavailable in this container"
+                        f"video container {fmt!r} requires a codec library "
+                        "not in this container (supported: 'avi' "
+                        "uncompressed DIB, 'x-fake')"
                     )
                 (n,) = struct.unpack(">I", raw[8:12])
                 lens = [
@@ -218,10 +237,37 @@ def video_frame_sample(video: DataFrame, every: int = 2) -> DataFrame:
                     idxs.append(i)
                     blobs.append(raw[start : start + lens[i]])
             yield pd.DataFrame(
-                {"video_id": vids, "frame_idx": np.array(idxs, np.int32),
+                {"video_id": vids,
+                 "frame_idx": np.array(idxs, np.int32),
                  "bytes": blobs}
             )
 
     return video.select("video_id", "bytes", "fmt").mapInPandas(
         work, out_schema
+    )
+
+
+def frame_features(frames: DataFrame) -> DataFrame:
+    """Per-sampled-frame features over PNG frame rows (the
+    :func:`video_frame_sample` output): mean intensity (exact — integer
+    pixel sum over a fixed count, one IEEE division) and max channel
+    value.  Arrow-batched like every media stage."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"video_id": [], "frame_idx": [], "mean_val": [],
+                   "max_val": []}
+            for vid, fi, data in zip(
+                pdf["video_id"], pdf["frame_idx"], pdf["bytes"]
+            ):
+                px = codec.png_decode(bytes(data)).astype(np.int64)
+                out["video_id"].append(vid)
+                out["frame_idx"].append(int(fi))
+                out["mean_val"].append(float(int(px.sum()) / px.size))
+                out["max_val"].append(int(px.max()))
+            yield pd.DataFrame(out)
+
+    return frames.select("video_id", "frame_idx", "bytes").mapInPandas(
+        work,
+        "video_id string, frame_idx int, mean_val double, max_val long",
     )

@@ -248,3 +248,57 @@ def audio_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(work, "clip_id long, bytes binary, codec string")
+
+
+# video synth constants — mirrored verbatim in the q58 oracle SQL
+VIDEO_W = VIDEO_H = 16
+VIDEO_MUL, VIDEO_FMUL, VIDEO_YMUL, VIDEO_XMUL, VIDEO_CMUL, VIDEO_ADD = (
+    1_103_515_245, 97, 31, 17, 7, 5
+)
+
+
+def synth_frames(video_id: int) -> "np.ndarray":
+    """Deterministic RGB frames — every pixel a closed-form integer
+    function of (video_id, frame, y, x, channel), so a DuckDB
+    ``generate_series`` query reproduces per-frame statistics exactly
+    while the engine path exercises the real AVI encode → decode → PNG
+    round trip (all lossless)."""
+    import numpy as np
+
+    nf = 4 + video_id % 8
+    f = np.arange(nf, dtype=np.int64)[:, None, None, None]
+    y = np.arange(VIDEO_H, dtype=np.int64)[None, :, None, None]
+    x = np.arange(VIDEO_W, dtype=np.int64)[None, None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, None, :]
+    v = (
+        video_id * VIDEO_MUL + f * VIDEO_FMUL + y * VIDEO_YMUL
+        + x * VIDEO_XMUL + c * VIDEO_CMUL + VIDEO_ADD
+    ) % 256
+    return v.astype("uint8")
+
+
+def video_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic AVI clip table derived from ``documents``: one
+    uncompressed-DIB video per doc_id (4-11 frames of 16×16 RGB),
+    encoded by the real RIFF/AVI codec inside an Arrow-batched stage.
+
+    Columns: (video_id string, bytes binary, fmt string)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from libspatialindex_spark.sources import avi as avicodec
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            blobs = [
+                avicodec.avi_encode(synth_frames(int(d)), fps=10)
+                for d in ids
+            ]
+            yield pd.DataFrame(
+                {"video_id": ids.astype(str), "bytes": blobs, "fmt": "avi"}
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(work, "video_id string, bytes binary, fmt string")

@@ -92,6 +92,9 @@ def main() -> None:
             "stored_over_inflight": round(ms / mi, 3),
             "stored_all": r["stored"], "inflight_all": r["inflight"],
         }
+    from _ab_record import record
+
+    record("ann_stored", out)
     print(json.dumps(out, separators=(",", ":")), flush=True)
 
 

@@ -73,6 +73,9 @@ def main() -> None:
         out[name]["ratio_nogc_over_gc"] = round(
             statistics.median(legs["nogc"]) / statistics.median(legs["gc"]), 3
         )
+    from _ab_record import record
+
+    record("dedup_methodology", out)
     print(json.dumps(out, separators=(",", ":")), flush=True)
 
 

@@ -1,0 +1,286 @@
+"""B-leg (full pipeline) strong-scaling attribution — VERDICT r4 #2.
+
+The load-equalized strong-scaling efficiency of the FULL pipeline (scan →
+PiP join → tile → Arrow re-encode) is 0.551 while this box's pure-CPU
+aggregate bounds any strong ratio at ~0.83 — so roughly 0.66 of engine
+share was unattributed.  The A-leg (JVM join+tile) got the same-kernel
+antagonist treatment in r3 (verdict: baseline artifact, ~1.0 under the
+faithful load); this script gives the B-leg the same treatment, stage by
+stage:
+
+* ``full``  — the whole pipeline (the 0.551 number's kernel);
+* ``codec`` — scan → Arrow-batched decode/re-encode → agg (Python
+  workers + Arrow + the PNG codec, no join/tile);
+* ``arrow`` — scan → PASS-THROUGH mapInPandas → agg (Python workers +
+  Arrow serialization only — no codec work);
+* ``jvm``   — scan → join → tile → agg (the A-leg, for reference).
+
+Each stage's 8-core leg runs pinned (taskset 0-7) on n/4 rows while the
+other 24 cores run the SAME stage kernel as an antagonist — the faithful
+load-equalized geometry.  eff = T8(n/4) / T32(n); 1.0 = perfect.
+
+A Spark-free control bounds the codec stage: per-core rate of the raw
+Python codec loop at 32-busy vs loaded-8 — the hardware ceiling for that
+resource class with no Spark/JVM/Arrow at all.
+
+Writes scaling_attrib3.json, merges into ab_last.json
+(``scaling_attrib_b``), and prints one JSON line for BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _ab_record import record  # noqa: E402
+
+RUNNER = """
+import sys, json, time
+sys.path.insert(0, {repo!r})
+from libspatialindex_spark.session import get_spark
+from libspatialindex_spark.sources import testdata as td
+from libspatialindex_spark import pipeline
+from libspatialindex_spark.config import EngineConfig
+import pyspark.sql.functions as F
+cores = {cores}
+spark = get_spark('attr3-%d-{stage}' % cores, cores=cores,
+                  shuffle_partitions=cores)
+spark.conf.set('spark.sql.files.maxPartitionBytes', str(2 * 1024 * 1024))
+spark.conf.set('spark.sql.files.openCostInBytes', str(256 * 1024))
+conf = EngineConfig(target_partitions=cores)
+polys = td.polys(spark, {sf_dir!r})
+images = spark.read.parquet({img_path!r})
+
+def codec_stage(df):
+    def work(batches):
+        import pandas as pd
+        from libspatialindex_spark.sources import png as codec
+        for pdf in batches:
+            blobs = [
+                codec.encode(codec.decode(bytes(b), f), f, level=0)
+                for b, f in zip(pdf['bytes'], pdf['fmt'])
+            ]
+            yield pd.DataFrame({{'n': [sum(len(x) for x in blobs)]}})
+    return df.select('bytes', 'fmt').mapInPandas(work, 'n long')
+
+def arrow_stage(df):
+    def work(batches):
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame(
+                {{'n': [int(pdf['bytes'].map(len).sum())]}}
+            )
+    return df.select('bytes', 'fmt').mapInPandas(work, 'n long')
+
+def kernel(t):
+    df = images.filter(F.col('image_id') != -1 - t)
+    stage = {stage!r}
+    if stage == 'full':
+        out = pipeline.join_and_tile(df, polys, conf)
+        return out.agg(F.count(F.lit(1)),
+                       F.approx_count_distinct('tile_id'),
+                       F.sum(F.length('bytes')))
+    if stage == 'codec':
+        return codec_stage(df).agg(F.sum('n'))
+    if stage == 'arrow':
+        return arrow_stage(df).agg(F.sum('n'))
+    if stage == 'jvm':
+        from libspatialindex_spark.operators import spatial_join, tiling
+        j = spatial_join.point_in_box_join(
+            df, polys, 'x', 'y', pipeline.POLY_BOX, conf,
+            broadcast_boxes=True)
+        return tiling.assign_tiles(j, conf).agg(
+            F.count(F.lit(1)), F.approx_count_distinct('tile_id'))
+    raise ValueError(stage)
+
+kernel(0).collect()  # warm
+{tail}
+"""
+
+MEASURE_TAIL = """
+best = 1e9
+for t in range(1, {trials} + 1):
+    t0 = time.time(); kernel(t).collect(); best = min(best, time.time() - t0)
+print("RESULT " + json.dumps({{"sec": round(best, 3)}}), flush=True)
+"""
+
+ANT_TAIL = """
+print("ANT_READY", flush=True)
+t = 1
+while True:
+    kernel(t).collect(); t += 1
+"""
+
+CODEC_LOOP = """
+import sys, time
+sys.path.insert(0, {repo!r})
+import numpy as np
+from libspatialindex_spark.sources import images as im
+from libspatialindex_spark.sources import png as codec
+px = im.pixels_for(np.arange(64))
+blobs = [codec.encode(px[i], "png") for i in range(64)]
+{body}
+"""
+
+CODEC_MEASURE_BODY = """
+n = 0
+t0 = time.time()
+while time.time() - t0 < {seconds}:
+    for b in blobs:
+        codec.encode(codec.decode(b, "png"), "png", level=0)
+    n += len(blobs)
+print("RATE " + str(n / (time.time() - t0)), flush=True)
+"""
+
+CODEC_ANT_BODY = """
+while True:
+    for b in blobs:
+        codec.encode(codec.decode(b, "png"), "png", level=0)
+"""
+
+
+def _runner_src(stage: str, cores: int, img_path: str, sf_dir: str,
+                tail: str, trials: int = 3) -> str:
+    return RUNNER.format(
+        repo=REPO, cores=cores, stage=stage, sf_dir=sf_dir,
+        img_path=img_path, tail=tail.format(trials=trials),
+    )
+
+
+def _measure(stage: str, cores: int, pin: str | None, img_path: str,
+             sf_dir: str) -> float:
+    cmd = [sys.executable, "-c",
+           _runner_src(stage, cores, img_path, sf_dir, MEASURE_TAIL)]
+    if pin:
+        cmd = ["taskset", "-c", pin] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])["sec"]
+    raise RuntimeError(out.stdout[-800:] + out.stderr[-800:])
+
+
+class _same_stage_ant:
+    """One pinned 24-core Spark session looping the same stage kernel."""
+
+    def __init__(self, stage: str, cores: str, img_path: str, sf_dir: str):
+        self.src = _runner_src(stage, 24, img_path, sf_dir, ANT_TAIL)
+        self.cores = cores
+        self.p: subprocess.Popen | None = None
+
+    def __enter__(self):
+        self.p = subprocess.Popen(
+            ["taskset", "-c", self.cores, sys.executable, "-c", self.src],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+        t0 = time.time()
+        for line in self.p.stdout:
+            if "ANT_READY" in line or time.time() - t0 > 300:
+                break
+        time.sleep(3)
+        return self
+
+    def __exit__(self, *exc):
+        if self.p:
+            self.p.kill()
+            self.p.wait()
+
+
+def sparkfree_codec_control(seconds: float = 8.0) -> dict:
+    """Per-core raw-codec rate: 32-busy vs loaded-8 (hardware ceiling)."""
+
+    def run_pinned(cores: list[int], measured: list[int]) -> float:
+        procs = []
+        for c in cores:
+            body = (CODEC_MEASURE_BODY.format(seconds=seconds)
+                    if c in measured else CODEC_ANT_BODY)
+            procs.append(subprocess.Popen(
+                ["taskset", "-c", str(c), sys.executable, "-c",
+                 CODEC_LOOP.format(repo=REPO, body=body)],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            ))
+        rates = []
+        for c, p in zip(cores, procs):
+            if c in measured:
+                for line in p.stdout:
+                    if line.startswith("RATE "):
+                        rates.append(float(line[5:]))
+                        break
+        for p in procs:
+            p.kill()
+        for p in procs:
+            p.wait()
+        return statistics.median(rates)
+
+    allc = list(range(os.cpu_count() or 32))
+    rate32 = run_pinned(allc, allc)
+    rate8 = run_pinned(allc, allc[:8])
+    return {"rate_32busy": round(rate32, 1), "rate_loaded8": round(rate8, 1),
+            "ceiling": round(rate32 / rate8, 3)}
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    # materialize the two image tables once (n for 32-core, n/4 for 8-core)
+    from libspatialindex_spark import pipeline
+    from libspatialindex_spark.session import get_spark
+
+    spark = get_spark("attr3-prep", cores=8, shuffle_partitions=8)
+    paths = {}
+    for m in (n, n // 4):
+        p = f"/tmp/libspatialindex_spark_bench/images_{m}"
+        pipeline.materialize_images(spark, m, p, skewness=2.0, partitions=64)
+        paths[m] = p
+    spark.stop()
+
+    rest = ",".join(str(c) for c in range(8, os.cpu_count() or 32))
+    stages = ("full", "codec", "arrow", "jvm")
+    res: dict[str, dict[str, list[float]]] = {
+        s: {"t32": [], "t8": []} for s in stages
+    }
+    for _ in range(rounds):
+        for s in stages:
+            res[s]["t32"].append(_measure(s, 32, None, paths[n], sf_dir))
+            with _same_stage_ant(s, rest, paths[n // 4], sf_dir):
+                res[s]["t8"].append(
+                    _measure(s, 8, "0-7", paths[n // 4], sf_dir)
+                )
+    control = sparkfree_codec_control()
+
+    out = {
+        "n_images": n, "rounds": rounds,
+        "stages": {
+            s: {
+                "t32_median": statistics.median(r["t32"]),
+                "t8_loaded_median": statistics.median(r["t8"]),
+                "strong_eff": round(
+                    statistics.median(r["t8"])
+                    / statistics.median(r["t32"]), 3
+                ),
+            }
+            for s, r in res.items()
+        },
+        "sparkfree_codec_control": control,
+        "note": ("eff = T8(n/4, same-kernel loaded) / T32(n); the codec "
+                 "control's 'ceiling' (rate_32busy/rate_loaded8, Spark-"
+                 "free) bounds what any Python-codec stage can reach"),
+    }
+    with open(os.path.join(REPO, "scaling_attrib3.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    record("scaling_attrib_b", out)
+    print(json.dumps(out, separators=(",", ":")), flush=True)
+
+
+if __name__ == "__main__":
+    main()

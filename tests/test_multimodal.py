@@ -1,4 +1,4 @@
-"""Multimodal operator plumbing tests (image real, audio/video stub/fake)."""
+"""Multimodal operator plumbing tests (image, audio, video-AVI real; compressed codecs raise)."""
 
 import numpy as np
 import pytest
@@ -68,3 +68,71 @@ def test_video_real_codec_stub(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|unavailable"):
         multimodal.video_frame_sample(df).collect()
+
+
+def test_avi_round_trip_bit_exact():
+    from libspatialindex_spark.sources import avi
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(5, 17, 23, 3), dtype=np.uint8)
+    dec, fps = avi.avi_decode(avi.avi_encode(frames, fps=12))
+    assert fps == 12 and dec.shape == frames.shape
+    assert (dec == frames).all()
+
+
+def test_avi_rejects_compressed():
+    from libspatialindex_spark.sources import avi
+
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 256, size=(2, 8, 8, 3), dtype=np.uint8)
+    data = avi.avi_encode(frames).replace(b"DIB ", b"h264", 1)
+    with pytest.raises(NotImplementedError, match="h264"):
+        avi.avi_decode(data)
+    with pytest.raises(ValueError):
+        avi.avi_decode(b"RIFFxxxxWAVE")
+
+
+def test_video_frame_sample_real_avi(spark):
+    """Real-container path: sampled frames decode back to the original
+    pixels (AVI and PNG are both lossless)."""
+    from libspatialindex_spark.sources import avi
+
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, size=(7, 12, 12, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("v9", bytearray(avi.avi_encode(frames)), "avi")],
+        "video_id string, bytes binary, fmt string",
+    )
+    out = multimodal.video_frame_sample(df, every=3).collect()
+    assert sorted(r.frame_idx for r in out) == [0, 3, 6]
+    for r in out:
+        assert (png.png_decode(bytes(r.bytes)) == frames[r.frame_idx]).all()
+
+
+def test_frame_features_match_numpy(spark):
+    from libspatialindex_spark.sources import avi
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(4, 10, 10, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("v1", bytearray(avi.avi_encode(frames)), "avi")],
+        "video_id string, bytes binary, fmt string",
+    )
+    feats = multimodal.frame_features(
+        multimodal.video_frame_sample(df, every=2)
+    ).collect()
+    got = {r.frame_idx: (r.mean_val, r.max_val) for r in feats}
+    for fi in (0, 2):
+        px = frames[fi].astype(np.int64)
+        assert got[fi] == (int(px.sum()) / px.size, int(px.max()))
+
+
+def test_video_clips_table_decodes(spark):
+    from conftest import SF_DIR
+    from libspatialindex_spark.sources import avi
+    from libspatialindex_spark.sources import testdata as td
+
+    for r in td.video_clips(spark, SF_DIR).limit(4).collect():
+        frames, fps = avi.avi_decode(bytes(r.bytes))
+        want = td.synth_frames(int(r.video_id))
+        assert fps == 10 and (frames == want).all()
