@@ -38,6 +38,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from _ab_record import record  # noqa: E402
@@ -81,7 +82,9 @@ def arrow_stage(df):
     return df.select('bytes', 'fmt').mapInPandas(work, 'n long')
 
 def kernel(t):
-    df = images.filter(F.col('image_id') != -1 - t)
+    # vary a literal so every trial builds a FRESH plan (identical plans
+    # hit Spark 4.1's result cache and report ~0.1 s fakes)
+    df = images.filter(F.col('image_id') != F.lit('no-such-%d' % t))
     stage = {stage!r}
     if stage == 'full':
         out = pipeline.join_and_tile(df, polys, conf)
