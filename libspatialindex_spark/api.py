@@ -160,6 +160,14 @@ class Index:
         mutations.recover(self.stored)
         return self
 
+    def compact(self, max_files_per_bucket: int = 1, **kw) -> "Index":
+        """M3 maintenance: merge insert-accumulated bucket files back into
+        the build-time layout (the reference's flush/reorganization)."""
+        mutations.compact(
+            self.stored, max_files_per_bucket=max_files_per_bucket, **kw
+        )
+        return self
+
 
 @dataclass
 class IndexND:

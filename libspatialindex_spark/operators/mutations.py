@@ -313,7 +313,13 @@ def delete_rows(
         .parquet(*[FS.join(idx.data_path, f"bucket={b}") for b in touched])
         .join(victims.select(id_col), on=id_col, how="left_anti")
     )
-    survivors.write.partitionBy("bucket").mode("overwrite").parquet(staged)
+    # (bucket, z) sort: rewritten buckets keep the build's in-file z
+    # clustering (plain unsorted staging silently degraded row-group zone
+    # maps for every deleted-from bucket — the EliminateSorts class of
+    # regression, caught in r5)
+    survivors.sortWithinPartitions("bucket", "z").write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(staged)
 
     # Swap per bucket: aside → move in.  The ``.old`` aside copies are NOT
     # deleted here — they survive until after the manifest commit below, so
@@ -368,6 +374,106 @@ def delete_rows(
     _replace_manifest(idx, fresh)
     # Only now — past the commit point — drop the aside copies.  A crash in
     # this window leaves harmless ``.old`` debris that recover() sweeps.
+    for b in touched:
+        fs.delete(FS.join(idx.data_path, f"bucket={b}.old"))
+    return idx
+
+
+def compact(
+    idx,
+    max_files_per_bucket: int = 1,
+    max_records_per_file: int | None = None,
+    bytes_col: str | None = None,
+    build_id: str = "compact",
+):
+    """M3 maintenance — merge each bucket's accumulated insert files back
+    into few z-sorted files (the reorganization the reference performs
+    inside ``flush``/node rewrites, ``src/rtree/RTree.cc`` M3 surface).
+
+    Every ``insert_batch`` appends ≥1 file per touched bucket, so a
+    long-lived index accumulates small files whose listing + footer reads
+    eventually dominate scans — the classic 100-TB landmine.  Compaction
+    rewrites only buckets holding more than ``max_files_per_bucket``
+    parquet files, restoring the build-time layout: one task per bucket,
+    ``(bucket, z)``-sorted files (the sort spelling that survives
+    ``EliminateSorts`` under a partitioned write), optionally re-split by
+    ``max_records_per_file`` for file-map granularity.
+
+    Crash-safety is ``delete_rows``' discipline verbatim: staged rewrite →
+    per-bucket ``.old`` aside swap → atomic manifest replace → asides
+    dropped post-commit; :func:`recover` rolls any torn state to a
+    consistent pre- or post-compaction snapshot.  Row sets are identical
+    before and after — only physical file count and in-file order change.
+    Works on 2-D and N-d stored indexes alike (shared z/bucket layout).
+    """
+    spark = idx.spark
+    fs = idx.fs
+    recover(idx)
+
+    touched = []
+    for name in fs.listdir(idx.data_path):
+        if not name.startswith("bucket=") or name.endswith(".old"):
+            continue
+        files = [
+            f
+            for f in fs.listdir(FS.join(idx.data_path, name))
+            if f.endswith(".parquet")
+        ]
+        if len(files) > max_files_per_bucket:
+            touched.append(int(name[len("bucket="):]))
+    if not touched:
+        return idx
+
+    staged = FS.join(idx.path, "_staging_compact")
+    fs.delete(staged)
+    data = spark.read.option("basePath", idx.data_path).parquet(
+        *[FS.join(idx.data_path, f"bucket={b}") for b in touched]
+    )
+    writer = (
+        data.repartition(len(touched), F.col("bucket"))
+        .sortWithinPartitions("bucket", "z")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.parquet(staged)
+
+    for b in touched:
+        live = FS.join(idx.data_path, f"bucket={b}")
+        old = FS.join(idx.data_path, f"bucket={b}.old")
+        fs.delete(old)
+        src = FS.join(staged, f"bucket={b}")
+        has_new = fs.isdir(src) and any(
+            f.endswith(".parquet") for f in fs.listdir(src)
+        )
+        if fs.isdir(live):
+            fs.rename(live, old)
+        if has_new:
+            fs.rename(src, live)
+    fs.delete(staged)
+
+    # Manifest: touched buckets collapse to ONE fresh aggregate row each
+    # (insert had appended one row per batch) — same staged swap as delete.
+    keep_rows = (
+        idx.manifest()
+        .filter(~F.col("bucket").isin(touched))
+        .select(*_manifest_cols(idx))
+        .collect()
+    )
+    fresh_rows = _manifest_for_idx(
+        idx,
+        spark.read.option("basePath", idx.data_path).parquet(
+            *[FS.join(idx.data_path, f"bucket={b}") for b in touched]
+        ),
+        bytes_col,
+        build_id,
+    ).select(*_manifest_cols(idx)).collect()
+    fresh = spark.createDataFrame(
+        keep_rows + fresh_rows, schema=_manifest_schema(idx)
+    )
+    _invalidate_file_map(idx)  # before commit: stale map must never survive
+    _replace_manifest(idx, fresh)
     for b in touched:
         fs.delete(FS.join(idx.data_path, f"bucket={b}.old"))
     return idx

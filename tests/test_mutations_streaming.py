@@ -134,3 +134,83 @@ def test_io_accounting_all_predicates(built):
         got = io()
         assert got["rows_returned"] == n == plain.count()
         assert got["rows_scanned"] >= got["rows_returned"]
+
+
+def _bucket_file_counts(idx):
+    out = {}
+    for name in idx.fs.listdir(idx.data_path):
+        if name.startswith("bucket=") and not name.endswith(".old"):
+            out[name] = len([
+                f for f in idx.fs.listdir(os.path.join(idx.data_path, name))
+                if f.endswith(".parquet")
+            ])
+    return out
+
+
+def test_compact_merges_insert_files_result_identical(built, conf):
+    """M3 maintenance: several insert batches pile files into each bucket;
+    compact() restores ~one z-sorted file per bucket with an IDENTICAL
+    result set and a consistent manifest (r5 — the small-file landmine)."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    idx, head, tail, full = built
+    for j, m in enumerate((0, 3, 6)):
+        batch = tail.filter(F.col("id") % 9 == m)
+        mutations.insert_batch(idx, batch, build_id=f"ins-{j}")
+    before = _bucket_file_counts(idx)
+    assert max(before.values()) >= 3  # files really accumulated
+    rows_before = sorted(
+        r.id for r in idx.relation().df.select("id").collect()
+    )  # multiset: fixture ids are not unique
+    n_manifest_before = idx.manifest().count()
+
+    mutations.compact(idx)
+
+    after = _bucket_file_counts(idx)
+    assert set(after) == set(before)
+    assert max(after.values()) == 1
+    assert idx.validate()
+    rows_after = sorted(
+        r.id for r in idx.relation().df.select("id").collect()
+    )
+    assert rows_after == rows_before
+    # manifest collapsed: one row per bucket now, totals unchanged
+    m = idx.manifest()
+    assert m.count() == len(after) < n_manifest_before
+    assert m.agg(F.sum("n_rows")).first()[0] == len(rows_before)
+    # compacted files keep the build's in-file z order (EliminateSorts pin)
+    for f in glob.glob(idx.data_path + "/bucket=*/*.parquet"):
+        z = pq.read_table(f, columns=["z"])["z"].to_numpy()
+        assert (np.diff(z) >= 0).all(), f
+    # idempotent: nothing left to do
+    mutations.compact(idx)
+    assert _bucket_file_counts(idx) == after
+
+
+def test_compact_noop_below_threshold(built):
+    idx, *_ = built
+    before = _bucket_file_counts(idx)
+    mutations.compact(idx, max_files_per_bucket=64)
+    assert _bucket_file_counts(idx) == before
+
+
+def test_delete_keeps_in_file_z_order(built):
+    """The delete path's staged rewrite must keep the (bucket, z) sort —
+    a plain unsorted write silently degrades row-group zone maps for
+    every rewritten bucket (r5 fix)."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    idx, head, tail, full = built
+    victims = head.select("id").limit(300)
+    mutations.delete_rows(idx, idx.spark.createDataFrame(
+        [(r.id,) for r in victims.collect()], ["id"]
+    ))
+    for f in glob.glob(idx.data_path + "/bucket=*/*.parquet"):
+        z = pq.read_table(f, columns=["z"])["z"].to_numpy()
+        assert (np.diff(z) >= 0).all(), f

@@ -608,3 +608,50 @@ def test_3d_alt_partitioner_query_parity(spark, r3, r3_pdf, tmp_path_factory, pa
     }
     assert got2 == want - vset
     assert idx2.validate()
+
+
+def test_3d_compact_after_inserts(spark, r3, tmp_path):
+    """compact() is dimension-generic: ND insert batches pile files into
+    octree-prefix buckets; compaction merges them with identical rows and
+    a consistent manifest (same z/bucket layout as 2-D)."""
+    import os
+
+    from libspatialindex_spark.operators import mutations
+
+    head = r3.filter(F.col("id") % 4 != 0)
+    conf3 = nd.NDConfig(axes=AX3, grid_bits=10, target_partitions=8)
+    idx = nd.build_index_nd(head, str(tmp_path / "ic3"), conf3, BOX3)
+    for j, m in enumerate((0, 4, 8)):
+        mutations.insert_batch(
+            idx, r3.filter(F.col("id") % 12 == m), build_id=f"e{j}"
+        )
+
+    def counts():
+        out = {}
+        for name in idx.fs.listdir(idx.data_path):
+            if name.startswith("bucket=") and not name.endswith(".old"):
+                out[name] = len([
+                    f
+                    for f in idx.fs.listdir(
+                        os.path.join(idx.data_path, name)
+                    )
+                    if f.endswith(".parquet")
+                ])
+        return out
+
+    before = counts()
+    assert max(before.values()) >= 3
+    rows_before = sorted(
+        r.id for r in idx.relation().df.select("id").collect()
+    )
+    mutations.compact(idx)
+    after = counts()
+    assert set(after) == set(before) and max(after.values()) == 1
+    assert idx.validate()
+    assert sorted(
+        r.id for r in idx.relation().df.select("id").collect()
+    ) == rows_before
+    assert (
+        sum(r["n_rows"] for r in idx.manifest_totals_rows())
+        == len(rows_before)
+    )
