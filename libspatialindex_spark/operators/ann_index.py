@@ -592,3 +592,68 @@ def delete_vectors(
     for c in touched:
         fs.delete(FS.join(idx.data_path, f"_cell={c}.old"))
     return idx
+
+
+def compact_ann_index(
+    idx: StoredAnnIndex,
+    max_files_per_cell: int = 1,
+    max_records_per_file: int | None = 1 << 20,
+    refresh_projection: bool = True,
+) -> StoredAnnIndex:
+    """M3 maintenance for the ANN layout: restore the ONE-file-per-
+    inverted-list invariant that :func:`insert_vectors` erodes (every
+    batch appends ≥1 file per touched cell; the r4 layout rework showed
+    list-file proliferation is what made the stored path slower than
+    in-flight).  Rewrites only cells above ``max_files_per_cell``,
+    (_cell, _sig)-sorted, via the same aside-swap discipline as
+    :func:`delete_vectors` — :func:`recover_ann_index` settles any torn
+    state.  Rebuilds the sig projection afterwards (mutations drop it)."""
+    spark = idx.spark
+    fs = FS.get_fs(spark, idx.path)
+    touched = []
+    for name in fs.listdir(idx.data_path):
+        if not name.startswith("_cell=") or name.endswith(".old"):
+            continue
+        files = [
+            f
+            for f in fs.listdir(FS.join(idx.data_path, name))
+            if f.endswith(".parquet")
+        ]
+        if len(files) > max_files_per_cell:
+            touched.append(int(name[len("_cell="):]))
+    if touched:
+        staging = FS.join(idx.path, "_staging_compact")
+        fs.delete(staging)
+        data = spark.read.option("basePath", idx.data_path).parquet(
+            *[FS.join(idx.data_path, f"_cell={c}") for c in touched]
+        )
+        writer = (
+            data.repartition(len(touched), F.col("_cell"))
+            .sortWithinPartitions("_cell", "_sig")
+            .write.partitionBy("_cell")
+            .mode("overwrite")
+        )
+        if max_records_per_file:
+            writer = writer.option(
+                "maxRecordsPerFile", int(max_records_per_file)
+            )
+        writer.parquet(staging)
+        invalidate_sig_projection(idx)  # stale projection must never serve
+        for c in touched:
+            live = FS.join(idx.data_path, f"_cell={c}")
+            old = live + ".old"
+            fs.delete(old)
+            src = FS.join(staging, f"_cell={c}")
+            has_new = fs.isdir(src) and any(
+                f.endswith(".parquet") for f in fs.listdir(src)
+            )
+            if fs.isdir(live):
+                fs.rename(live, old)
+            if has_new:
+                fs.rename(src, live)
+        fs.delete(staging)
+        for c in touched:
+            fs.delete(FS.join(idx.data_path, f"_cell={c}.old"))
+    if refresh_projection and not idx.has_sig_projection():
+        refresh_sig_projection(idx)
+    return idx

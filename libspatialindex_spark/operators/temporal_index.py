@@ -646,10 +646,11 @@ def delete_versions(
 ) -> StoredVersionIndex:
     """Remove version entries by id (Index_DeleteMVRData analog):
     anti-join rewrite of only the buckets holding victims."""
+    tstart, _, _ = idx.colspec()
     return _delete_generic(idx, victims, id_col, "tb", _version_agg(idx), {
         "kind": "versions", "t_lo": idx.t_lo, "width": idx.width,
         "n_tbuckets": idx.n_tbuckets, "cols": idx.cols, "cuts": idx.cuts,
-    })
+    }, sort_key=tstart)
 
 
 def insert_moving(
@@ -684,7 +685,7 @@ def delete_moving(
     })
 
 
-def _delete_generic(idx, victims, id_col, part, agg_fn, extra):
+def _delete_generic(idx, victims, id_col, part, agg_fn, extra, sort_key=None):
     spark = idx.spark
     fs = FS.get_fs(spark, idx.path)
     data = spark.read.parquet(idx.data_path)
@@ -701,6 +702,11 @@ def _delete_generic(idx, victims, id_col, part, agg_fn, extra):
             *[FS.join(idx.data_path, f"{part}={b}") for b in touched]
         ).join(victims.select(id_col), on=id_col, how="left_anti")
     )
+    if sort_key is not None:
+        # (part, key) like the build: rewritten version buckets keep their
+        # tstart clustering (a bare unsorted rewrite silently degraded
+        # row-group pruning — the EliminateSorts class of regression)
+        survivors = survivors.sortWithinPartitions(part, sort_key)
     survivors.write.partitionBy(part).mode("overwrite").parquet(staging)
     # swap: aside → move in; asides dropped after the JSON commit
     for b in touched:
@@ -762,3 +768,77 @@ def moving_range_query_stored(
             horizon=horizon, now=now,
         )
     return out, io
+
+
+def _compact_generic(idx, part, agg_fn, extra, sort_key=None,
+                     max_files_per_bucket: int = 1):
+    """Shared M3 compaction for the temporal layouts: merge bucket dirs
+    holding more than ``max_files_per_bucket`` files (insert debris) back
+    into few files, keeping the build's in-file clustering, via the
+    delete path's aside-swap + JSON-commit discipline
+    (:func:`recover_temporal_index` settles any torn state)."""
+    spark = idx.spark
+    fs = FS.get_fs(spark, idx.path)
+    touched = []
+    for name in fs.listdir(idx.data_path):
+        if not name.startswith(f"{part}=") or name.endswith(".old"):
+            continue
+        files = [
+            f
+            for f in fs.listdir(FS.join(idx.data_path, name))
+            if f.endswith(".parquet")
+        ]
+        if len(files) > max_files_per_bucket:
+            touched.append(int(name[len(part) + 1:]))
+    if not touched:
+        return idx
+    staging = FS.join(idx.path, "_staging_compact")
+    fs.delete(staging)
+    data = spark.read.option("basePath", idx.data_path).parquet(
+        *[FS.join(idx.data_path, f"{part}={b}") for b in touched]
+    ).repartition(len(touched), F.col(part))
+    if sort_key is not None:
+        data = data.sortWithinPartitions(part, sort_key)
+    data.write.partitionBy(part).mode("overwrite").parquet(staging)
+    for b in touched:
+        live = FS.join(idx.data_path, f"{part}={b}")
+        old = live + ".old"
+        fs.delete(old)
+        src = FS.join(staging, f"{part}={b}")
+        has_new = fs.isdir(src) and any(
+            f.endswith(".parquet") for f in fs.listdir(src)
+        )
+        if fs.isdir(live):
+            fs.rename(live, old)
+        if has_new:
+            fs.rename(src, live)
+    fs.delete(staging)
+    buckets = _recompute_buckets(idx, part, touched, agg_fn)
+    _commit_json(idx, part, buckets, extra)
+    for b in touched:
+        fs.delete(FS.join(idx.data_path, f"{part}={b}.old"))
+    idx.buckets = buckets
+    return idx
+
+
+def compact_versions(
+    idx: StoredVersionIndex, max_files_per_bucket: int = 1
+) -> StoredVersionIndex:
+    """M3 maintenance for the version index (the spatial
+    ``mutations.compact`` analog): restore tstart-clustered few-file
+    buckets after insert batches."""
+    tstart, _, _ = idx.colspec()
+    return _compact_generic(idx, "tb", _version_agg(idx), {
+        "kind": "versions", "t_lo": idx.t_lo, "width": idx.width,
+        "n_tbuckets": idx.n_tbuckets, "cols": idx.cols, "cuts": idx.cuts,
+    }, sort_key=tstart, max_files_per_bucket=max_files_per_bucket)
+
+
+def compact_moving(
+    idx: StoredMovingIndex, max_files_per_bucket: int = 1
+) -> StoredMovingIndex:
+    """M3 maintenance for the moving-object index."""
+    return _compact_generic(idx, "mb", _moving_agg(idx.cols), {
+        "kind": "moving", "cols": idx.cols,
+        "world": list(idx.world), "bits": idx.bits,
+    }, max_files_per_bucket=max_files_per_bucket)

@@ -314,3 +314,61 @@ def test_kmeans_centroids_balance_and_determinism(spark, emb):
     strided = Ssk[::31].copy()
     _, Ckm = similarity.ivf_kmeans_centroids(skew, init_every=31)
     assert assign_counts(Ssk, Ckm).max() < assign_counts(Ssk, strided).max()
+
+
+def test_ann_compact_restores_one_file_per_list(spark, emb, qvec, tmp_path_factory):
+    """compact_ann_index restores the one-file-per-inverted-list invariant
+    insert_vectors erodes; results identical, sig projection rebuilt."""
+    import os
+
+    path = str(tmp_path_factory.mktemp("ann") / "cmp")
+    head = emb.filter(F.col("vec_id") % 3 != 0)
+    idx = ann_index.build_ann_index(
+        head, path, stride=31, bands=20, rows_per_band=4, n_planes=8, seed=42
+    )
+    for j, m in enumerate((0, 3, 6)):
+        ann_index.insert_vectors(
+            idx, emb.filter(F.col("vec_id") % 9 == m), build_id=f"e{j}"
+        )
+
+    def counts():
+        out = {}
+        for name in os.listdir(idx.data_path):
+            if name.startswith("_cell=") and not name.endswith(".old"):
+                out[name] = len([
+                    f
+                    for f in os.listdir(os.path.join(idx.data_path, name))
+                    if f.endswith(".parquet")
+                ])
+        return out
+
+    before = counts()
+    assert max(before.values()) >= 2
+    assert not idx.has_sig_projection()  # inserts invalidated it
+    want = {
+        (r.vec_id, r.cos_q)
+        for r in ann_index.ann_lsh_cosine_stored(idx, qvec, K).collect()
+    }
+    wivf = {
+        (r.vec_id, r.cos_q)
+        for r in ann_index.ann_ivf_cosine_stored(idx, qvec, K, n_probe=6).collect()
+    }
+
+    ann_index.compact_ann_index(idx)
+
+    after = counts()
+    assert set(after) == set(before)
+    assert max(after.values()) == 1
+    assert idx.has_sig_projection()  # rebuilt post-compaction
+    got = {
+        (r.vec_id, r.cos_q)
+        for r in ann_index.ann_lsh_cosine_stored(idx, qvec, K).collect()
+    }
+    givf = {
+        (r.vec_id, r.cos_q)
+        for r in ann_index.ann_ivf_cosine_stored(idx, qvec, K, n_probe=6).collect()
+    }
+    assert got == want and givf == wivf
+    # idempotent
+    ann_index.compact_ann_index(idx)
+    assert counts() == after

@@ -269,3 +269,73 @@ def test_version_index_equal_frequency_balanced(spark, versions, tmp_path_factor
     out, io = ti.time_range_query_stored(idx2, *q)
     assert {r.id for r in out.collect()} == want
     assert io["buckets_scanned"] < io["buckets_total"]
+
+
+def _tdir_counts(idx, part):
+    import os
+
+    out = {}
+    for name in os.listdir(idx.data_path):
+        if name.startswith(f"{part}=") and not name.endswith(".old"):
+            out[name] = len([
+                f for f in os.listdir(os.path.join(idx.data_path, name))
+                if f.endswith(".parquet")
+            ])
+    return out
+
+
+def test_version_index_compact(spark, conf, versions, tmp_path_factory):
+    """compact_versions merges insert-accumulated bucket files, keeps
+    tstart-clustered in-file order, and leaves results + envelope totals
+    unchanged (r5 M3 maintenance for the temporal layouts)."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path_factory.mktemp("tix") / "vcmp")
+    head = versions.filter(F.col("id") % 4 != 0)
+    idx = ti.build_version_index(head, path, n_tbuckets=8)
+    for j, m in enumerate((0, 4, 8)):
+        ti.insert_versions(
+            idx, versions.filter(F.col("id") % 12 == m), build_id=f"e{j}"
+        )
+    before = _tdir_counts(idx, "tb")
+    assert max(before.values()) >= 3
+    rel = SpatialRelation(versions, conf, max_extent=(td.MAX_EXTENT,) * 2)
+    want = {r.id for r in temporal.time_range_query(rel, *W, *TQ).collect()}
+    total_before = sum(b["n_rows"] for b in idx.buckets)
+
+    ti.compact_versions(idx)
+
+    after = _tdir_counts(idx, "tb")
+    assert set(after) == set(before) and max(after.values()) == 1
+    out, _ = ti.time_range_query_stored(idx, *W, *TQ)
+    assert {r.id for r in out.collect()} == want
+    assert sum(b["n_rows"] for b in idx.buckets) == total_before
+    # in-file tstart clustering preserved through compaction
+    for f in glob.glob(idx.data_path + "/tb=*/*.parquet"):
+        t = pq.read_table(f, columns=["tstart"])["tstart"].to_numpy()
+        assert (np.diff(t) >= 0).all(), f
+    # reload sees the compacted manifest
+    idx2 = ti.load_version_index(spark, path)
+    out2, _ = ti.time_range_query_stored(idx2, *W, *TQ)
+    assert {r.id for r in out2.collect()} == want
+
+
+def test_moving_index_compact(spark, moving, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tix") / "mcmp")
+    head = moving.filter(F.col("id") % 3 != 0)
+    idx = ti.build_moving_index(head, path, bits=3)
+    for j, m in enumerate((0, 3, 6)):
+        ti.insert_moving(
+            idx, moving.filter(F.col("id") % 9 == m), build_id=f"e{j}"
+        )
+    before = _tdir_counts(idx, "mb")
+    assert max(before.values()) >= 2
+    want = {r.id for r in temporal.moving_range_query(moving, *W, *MQ).collect()}
+    ti.compact_moving(idx)
+    after = _tdir_counts(idx, "mb")
+    assert set(after) == set(before) and max(after.values()) == 1
+    out, _ = ti.moving_range_query_stored(idx, *W, *MQ)
+    assert {r.id for r in out.collect()} == want
