@@ -225,3 +225,48 @@ def test_delete_crash_before_manifest_commit_recovers(
     assert idx.validate()
     left = idx.manifest_totals().agg(F.sum("n_rows")).collect()[0][0] or 0
     assert left < n_total
+
+
+def test_compact_crash_before_manifest_commit_recovers(
+    spark, conf, tmp_path, monkeypatch
+):
+    """compact() uses the delete-path swap discipline, so a crash before
+    its manifest commit must also recover to a consistent state: every
+    bucket readable (old or new copy), recover() sweeps asides
+    consistently with the still-old manifest, re-running compact
+    converges, and no row is ever lost (r5)."""
+    df = td.rects(spark, SF_DIR).limit(2000)
+    idx = index_build.build_index(df, str(tmp_path / "idx"), conf)
+    data = spark.read.parquet(idx.data_path)
+    n_total = data.count()
+    # accumulate files so compact has work
+    mutations.insert_batch(
+        idx, td.rects(spark, SF_DIR).limit(3000).subtract(df), build_id="e1"
+    )
+    n_total = spark.read.parquet(idx.data_path).count()
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(mutations, "_replace_manifest", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        mutations.compact(idx)
+    monkeypatch.undo()
+
+    mutations.recover(idx)
+    fs = idx.fs
+    assert not any(n.endswith(".old") for n in fs.listdir(idx.data_path))
+    # no rows lost at any crash point (compact only rewrites physically)
+    assert spark.read.parquet(idx.data_path).count() == n_total
+    # re-running converges to the compacted state with a valid manifest
+    mutations.compact(idx)
+    assert idx.validate()
+    assert spark.read.parquet(idx.data_path).count() == n_total
+    counts = [
+        len([
+            f for f in fs.listdir(FS.join(idx.data_path, n))
+            if f.endswith(".parquet")
+        ])
+        for n in fs.listdir(idx.data_path) if n.startswith("bucket=")
+    ]
+    assert max(counts) == 1
