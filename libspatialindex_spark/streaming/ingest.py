@@ -36,10 +36,21 @@ def stream_into_index(
     box: BoxCols | None = None,
     bytes_col: str | None = None,
     trigger_once: bool = False,
+    compact_every: int | None = None,
+    compact_max_files: int = 8,
 ) -> StreamingQuery:
     """Start a file-source stream that inserts every micro-batch into
     ``idx``.  ``trigger_once=True`` drains what's present and stops
-    (test/backfill mode)."""
+    (test/backfill mode).
+
+    ``compact_every=N`` folds maintenance into the standing job: every
+    N-th epoch, buckets that accumulated more than ``compact_max_files``
+    files are merged back into the build layout
+    (``mutations.compact`` — crash-safe and physically idempotent, so an
+    epoch replay that re-runs the compaction converges; a long-lived
+    ingest job otherwise degrades its own read path one small file per
+    touched bucket per epoch)."""
+    from libspatialindex_spark.operators.mutations import compact
 
     def sink(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -52,6 +63,11 @@ def stream_into_index(
             build_id=f"stream-{epoch_id}",
             idempotent=True,
         )
+        if compact_every and epoch_id % compact_every == compact_every - 1:
+            compact(
+                idx, max_files_per_bucket=compact_max_files,
+                build_id=f"compact-{epoch_id}",
+            )
 
     stream = (
         spark.readStream.schema(schema)

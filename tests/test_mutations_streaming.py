@@ -214,3 +214,35 @@ def test_delete_keeps_in_file_z_order(built):
     for f in glob.glob(idx.data_path + "/bucket=*/*.parquet"):
         z = pq.read_table(f, columns=["z"])["z"].to_numpy()
         assert (np.diff(z) >= 0).all(), f
+
+
+def test_streaming_ingest_with_auto_compaction(spark, conf, tmp_path):
+    """compact_every folds maintenance into the standing ingest job: after
+    draining multi-epoch input, no bucket holds more than the compaction
+    threshold's worth of files, and the index is complete and valid."""
+    from libspatialindex_spark.streaming.ingest import stream_into_index
+
+    df = td.rects(spark, SF_DIR)
+    first = df.filter(F.col("id") % 2 == 0)
+    later = df.filter(F.col("id") % 2 != 0)
+    idx = index_build.build_index(first, str(tmp_path / "idx"), conf)
+
+    src = str(tmp_path / "incoming")
+    # many small input files → several micro-batch epochs (8 files/trigger)
+    later.repartition(24).write.mode("overwrite").parquet(src)
+    schema = "id long, xmin double, ymin double, xmax double, ymax double"
+    q = stream_into_index(
+        spark, src, idx, schema, str(tmp_path / "ckpt"),
+        trigger_once=True, compact_every=1, compact_max_files=1,
+    )
+    q.awaitTermination(180)
+    assert idx.validate()
+    total = idx.manifest_totals().agg(F.sum("n_rows")).collect()[0][0]
+    assert total == df.count()
+    counts = _bucket_file_counts(idx)
+    assert max(counts.values()) == 1
+    builds = {
+        r.build_id
+        for r in idx.manifest().select("build_id").distinct().collect()
+    }
+    assert any(b.startswith("compact-") for b in builds)
