@@ -167,3 +167,53 @@ def test_fuzz_self_join(workload):
         for r in spatial_join.self_join_query(rel, qx, qy, qx2, qy2).collect()
     }
     assert got == want
+
+
+def test_fuzz_stored_index_with_mutations(workload, tmp_path_factory):
+    """The reference harness's mixed-ops shape (test2) under fresh seeds:
+    bulk-load half the entries, insert the rest, delete a random subset,
+    compact — after every step the STORED index answers fresh windows
+    exactly like the array oracle on the corresponding state."""
+    from pyspark.sql import functions as F
+
+    from libspatialindex_spark.operators import (
+        index_build,
+        mutations,
+        range_query,
+    )
+
+    a, rng, rel = workload
+    conf = EngineConfig(target_partitions=8)
+    path = str(tmp_path_factory.mktemp("fuzz") / "idx")
+    df = rel.df
+    head = df.filter(F.col("id") % 2 == 0)
+    tail = df.filter(F.col("id") % 2 != 0)
+    idx = index_build.build_index(head, path, conf)
+
+    def check(live_ids) -> None:
+        for _ in range(4):
+            qx, qy = rng.uniform(0.0, 0.95, 2)
+            q = (qx, qy, qx + 0.04, qy + 0.04)
+            got = {
+                r.id
+                for r in range_query.intersects_query(
+                    idx.relation(), *q
+                ).collect()
+            }
+            assert got == _oracle_intersects(a, *q) & live_ids
+
+    even = {int(i) for i in a["id"] if i % 2 == 0}
+    check(even)
+    mutations.insert_batch(idx, tail, build_id="fuzz-ins")
+    allids = {int(i) for i in a["id"]}
+    check(allids)
+    victims = rng.choice(a["id"], size=N // 5, replace=False)
+    vset = {int(v) for v in victims}
+    mutations.delete_rows(
+        idx,
+        df.sparkSession.createDataFrame([(int(v),) for v in vset], ["id"]),
+    )
+    check(allids - vset)
+    mutations.compact(idx)
+    assert idx.validate()
+    check(allids - vset)
