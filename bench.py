@@ -212,6 +212,15 @@ def main() -> None:
         io_acct["ann_sig_probe"] = {
             "partitions_planned": len(sparts), "partitions_total": stotal,
         }
+    # Event-rollup IO accounting: rows in vs groups out — the map-side
+    # combine reduction that keeps the shuffle aggregate-sized at 100 TB.
+    from libspatialindex_spark.operators import events as ev
+
+    out_e, eio = ev.observed_rollup(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+    out_e.write.format("noop").mode("overwrite").save()
+    io_acct["event_rollup"] = eio()
     # IVF recall@k at the fixed probe budget vs the exact brute-force
     # top-k (VERDICT r4 #4 done-criterion): with the k-means coarse
     # quantizer, how much of the true answer do the probed lists hold

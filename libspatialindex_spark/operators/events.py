@@ -64,3 +64,31 @@ def session_counts(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+def observed_rollup(events: DataFrame):
+    """:func:`hourly_rollup` with in-flight IO accounting (the A4 pattern
+    the spatial/temporal layers have, extended to the event layer): rows
+    scanned vs groups emitted — the map-side-combine reduction factor
+    that tells you the shuffle is aggregate-sized, not data-sized, at any
+    scale.  Returns ``(result_df, io)``; call ``io()`` after an action."""
+    from pyspark.sql import Observation
+
+    in_obs, out_obs = Observation(), Observation()
+    src = events.observe(
+        in_obs, F.count(F.lit(1)).alias("rows_scanned")
+    )
+    out = hourly_rollup(src).observe(
+        out_obs, F.count(F.lit(1)).alias("groups_out")
+    )
+
+    def io() -> dict:
+        scanned = in_obs.get["rows_scanned"]
+        groups = out_obs.get["groups_out"]
+        return {
+            "rows_scanned": scanned,
+            "groups_out": groups,
+            "reduction_factor": round(scanned / max(groups, 1), 1),
+        }
+
+    return out, io

@@ -238,3 +238,18 @@ def test_streaming_moving_tracker_matches_batch(spark, tmp_path, conf):
         for r in temporal.moving_range_query(want, *win, 0.0, 256.0).collect()
     }
     assert a == b and a
+
+
+def test_observed_rollup_accounting(ev):
+    out, io = events.observed_rollup(ev)
+    rows = out.collect()
+    acct = io()
+    assert acct["rows_scanned"] == ev.count()
+    assert acct["groups_out"] == len(rows)
+    assert acct["reduction_factor"] >= 1
+    # same results as the plain rollup
+    plain = {
+        (r.hour_epoch, r.event_type, r.n)
+        for r in events.hourly_rollup(ev).collect()
+    }
+    assert {(r.hour_epoch, r.event_type, r.n) for r in rows} == plain
