@@ -409,7 +409,10 @@ def _knn_join_seed_round(
     rows = ok.filter(F.col(dist_col) <= F.col("_kth")).select(
         F.col("_qid").alias(qid_col), "id", dist_col
     ).localCheckpoint()
-    qids = ok.select("_qid").distinct().localCheckpoint()
+    # a certified query (_cnt >= k >= 1) emits >= 1 row, so the resolved
+    # qid set is derivable from the MATERIALIZED rows — no second window
+    # pass over the candidate cache (one whole job saved per round)
+    qids = rows.select(F.col(qid_col).alias("_qid")).distinct()
     cand.unpersist()
     seeded.unpersist()
     return rows, qids
@@ -497,7 +500,10 @@ def knn_join(
         pending = new_pending
 
     def resolve(cand: DataFrame, certified) -> tuple[DataFrame, DataFrame]:
-        """Split candidates into resolved result rows + resolved qids."""
+        """Split candidates into resolved result rows (MATERIALIZED via
+        localCheckpoint) + resolved qids.  qids derive from the
+        checkpointed rows — a certified query (_cnt >= k >= 1) always
+        emits rows, so no second window pass over the candidates runs."""
         rn = F.row_number().over(win.orderBy(dist_col, "id"))
         scored = cand.withColumn("_rn", rn).withColumn(
             "_kth", F.max(F.when(F.col("_rn") <= k, F.col(dist_col))).over(win)
@@ -505,8 +511,8 @@ def knn_join(
         ok = scored.filter(certified(F.col("_cnt")))
         rows = ok.filter(F.col(dist_col) <= F.col("_kth")).select(
             F.col("_qid").alias(qid_col), "id", dist_col
-        )
-        qids = ok.select("_qid").distinct()
+        ).localCheckpoint()
+        qids = rows.select(F.col(qid_col).alias("_qid")).distinct()
         return rows, qids
 
     while True:
@@ -546,9 +552,9 @@ def knn_join(
             .persist()
         )
         rows, done_qids = resolve(cand, lambda cnt: cnt >= k)
+        # rows is already materialized inside resolve(); out stays a
+        # shallow union of checkpointed slices (≤ ~8 rounds deep)
         out = rows if out is None else out.unionByName(rows)
-        # materialize this round's slice before the cache is dropped
-        out = out.localCheckpoint()
         cand.unpersist()
         new_pending = pending.join(done_qids, on="_qid", how="left_anti").persist()
         pending.unpersist()
