@@ -722,6 +722,21 @@ def q57_audio_features(spark, sf_dir):
     return multimodal.audio_features(td.audio_clips(spark, sf_dir))
 
 
+def q59_audio_resample(spark, sf_dir):
+    """Resample operator under the oracle gate: synth WAV clips are
+    linear-interpolation resampled 16 kHz → 8 kHz (real decode →
+    interpolate → re-encode round trip), then reduced by the same
+    feature kernel as q57.  Every interpolation step is IEEE-replicable
+    in SQL (exact-integer position numerator, literal-order interpolant,
+    floor(v+0.5) rounding), so the resampled features match bit-exactly."""
+    from libspatialindex_spark.operators import multimodal
+
+    clips = td.audio_clips(spark, sf_dir)
+    return multimodal.audio_features(
+        multimodal.audio_resample(clips, 8_000)
+    )
+
+
 def q58_video_frames(spark, sf_dir):
     """REAL video container + frame features (the multimodal video
     de-stub): one deterministic uncompressed-DIB AVI per document
@@ -792,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_user_sessions": q51_user_sessions,
         "q57_audio_features": q57_audio_features,
         "q58_video_frames": q58_video_frames,
+        "q59_audio_resample": q59_audio_resample,
     }
 
 
@@ -1686,6 +1702,60 @@ def _oracle_sql_base() -> dict[str, str]:
                      / (max(n) - 1) AS zcr,
                    max(CASE WHEN v < 0 THEN -v ELSE v END) AS peak
             FROM s GROUP BY clip_id
+        """,
+        # Mirrors sources/wav.resample_linear verbatim: m = floor(n/2+0.5),
+        # pos_j = (j·(n−1))/(m−1) (exact integer numerator, one IEEE
+        # division), out = clip(floor(s_lo + (s_hi−s_lo)·frac + 0.5)) in
+        # literal operation order — every step bit-replicable, so the
+        # resampled features (same kernel as q57) match exactly.
+        "q59_audio_resample": """
+            WITH p AS (
+              SELECT doc_id AS clip_id,
+                     CAST(800 + (doc_id % 50) * 160 AS BIGINT) AS n
+              FROM documents
+            ), dims AS (
+              SELECT clip_id, n,
+                     CAST(FLOOR(CAST(n AS DOUBLE) / 2 + 0.5) AS BIGINT) AS m
+              FROM p
+            ), o AS (
+              SELECT d.clip_id, d.n, d.m, g.j,
+                     CAST(g.j * (d.n - 1) AS DOUBLE) / (d.m - 1) AS pos
+              FROM dims d, LATERAL (
+                SELECT unnest(generate_series(0, d.m - 1)) AS j
+              ) g
+            ), s AS (
+              SELECT clip_id, n, m, j,
+                     CAST(FLOOR(pos) AS BIGINT) AS lo,
+                     LEAST(CAST(FLOOR(pos) AS BIGINT) + 1, n - 1) AS hi,
+                     pos - FLOOR(pos) AS frac
+              FROM o
+            ), v AS (
+              SELECT clip_id, n, m, j,
+                GREATEST(-32768, LEAST(32767, CAST(FLOOR(
+                  CAST(((clip_id * 1103515245 + lo * 12345 + 6789)
+                        % 2147483648) % 65536 - 32768 AS DOUBLE)
+                  + (CAST(((clip_id * 1103515245 + hi * 12345 + 6789)
+                           % 2147483648) % 65536 - 32768 AS DOUBLE)
+                     - CAST(((clip_id * 1103515245 + lo * 12345 + 6789)
+                             % 2147483648) % 65536 - 32768 AS DOUBLE))
+                    * frac
+                  + 0.5) AS BIGINT))) AS out
+              FROM s
+            ), w AS (
+              SELECT a.clip_id, a.m, a.j, a.out, b.out AS outn
+              FROM v a LEFT JOIN v b
+                ON b.clip_id = a.clip_id AND b.j = a.j + 1
+            )
+            SELECT clip_id,
+                   8000 AS sample_rate,
+                   max(m) AS n_samples,
+                   CAST(max(m) AS DOUBLE) / 8000 AS duration,
+                   sqrt(CAST(sum(out * out) AS DOUBLE) / max(m)) AS rms,
+                   CAST(sum(CASE WHEN j < m - 1 AND ((out < 0) != (outn < 0))
+                            THEN 1 ELSE 0 END) AS DOUBLE)
+                     / (max(m) - 1) AS zcr,
+                   max(CASE WHEN out < 0 THEN -out ELSE out END) AS peak
+            FROM w GROUP BY clip_id
         """,
         # Mirrors sources/testdata.synth_frames verbatim: pixel(v,f,y,x,c)
         # = (v*1103515245 + f*97 + y*31 + x*17 + c*7 + 5) mod 256 over

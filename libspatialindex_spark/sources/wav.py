@@ -29,6 +29,7 @@ module serves the build brief's multimodal-column mandate.
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -100,20 +101,27 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
 
 def resample_linear(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
     """Linear-interpolation resample, per channel.  ``(n, ch) → (m, ch)``
-    with ``m = round(n * dst/src)``; endpoints map to endpoints.  Output
-    rounds to int16 (half away from zero, via numpy rint)."""
+    with ``m = round(n · dst/src)``; endpoints map to endpoints.
+
+    Every arithmetic step is chosen to be bit-replicable in SQL (the q59
+    oracle): position ``pos_j = (j·(n−1)) / (m−1)`` (exact integer
+    numerator, one IEEE division), interpolant ``s_lo + (s_hi−s_lo)·frac``
+    evaluated in that literal order, and rounding via ``floor(v + 0.5)``
+    (numpy ``rint``'s half-to-even has no SQL twin)."""
     if samples.ndim == 1:
         samples = samples[:, None]
     n, ch = samples.shape
     if src_rate == dst_rate or n <= 1:
         return samples.copy()
-    m = max(1, int(round(n * dst_rate / src_rate)))
-    pos = np.linspace(0.0, n - 1, m)
+    m = max(2, int(math.floor(n * dst_rate / src_rate + 0.5)))
+    j = np.arange(m, dtype=np.int64)
+    pos = (j * (n - 1)).astype(np.float64) / float(m - 1)
     lo = np.floor(pos).astype(np.int64)
     hi = np.minimum(lo + 1, n - 1)
     frac = (pos - lo)[:, None]
-    out = samples[lo] * (1.0 - frac) + samples[hi] * frac
-    return np.clip(np.rint(out), -32768, 32767).astype(np.int16)
+    s = samples.astype(np.float64)
+    out = s[lo] + (s[hi] - s[lo]) * frac
+    return np.clip(np.floor(out + 0.5), -32768, 32767).astype(np.int16)
 
 
 def synth_n_samples(clip_id: int) -> int:
