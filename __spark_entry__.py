@@ -462,12 +462,16 @@ def q22_pip_count_by_poly(spark, sf_dir):
 
 def q23_pip_join_salted(spark, sf_dir):
     """Same result set as q20 via the salted shuffle-join path (skew
-    handling: LISA tie-advance precedent)."""
+    handling: LISA tie-advance precedent).  ``salt=None`` exercises the
+    r5 STATS-DRIVEN path: the per-cell histogram finds the hottest cell
+    and derives the fan-out from ``hot_cell_threshold`` (set low here so
+    the salted plan actually runs at gate scale) — the knob is wired,
+    not caller-guessed."""
     pts = td.points(spark, sf_dir)
     pol = td.polys(spark, sf_dir)
     return spatial_join.point_in_box_join(
         pts, pol, "x", "y", POLY_BOX, CONF,
-        broadcast_boxes=False, salt=8,
+        broadcast_boxes=False, salt=None, hot_cell_threshold=4,
     ).select("id", "poly_id")
 
 
