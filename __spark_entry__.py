@@ -45,13 +45,23 @@ GK_LO, GK_HI = 524288, 525311  # grid-key strip (ix=512) for Q8
 POLY_BOX = BoxCols("pxmin", "pymin", "pxmax", "pymax")
 
 
-def _rects_rel(spark: SparkSession, sf_dir: str) -> SpatialRelation:
+def _rects_rel(
+    spark: SparkSession, sf_dir: str, mat: bool = False
+) -> SpatialRelation:
     # No z column here: Z-prune only pays when z is a *materialized* column
     # of a stored index (parquet attribute + zone maps).  On a derived
     # relation the data is scanned anyway, and filtering on a computed z
     # would make Catalyst substitute the deep Morton expression into every
     # BETWEEN (expression blow-up).  Exact codegen predicates only.
+    #
+    # ``mat=True`` (multi-job consumers: the kNN ring/seed loops, q19):
+    # lazy localCheckpoint so the derivation is evaluated once and every
+    # subsequent job of the operator reads plain materialized columns
+    # instead of re-deriving per job.  Single-pass queries stay direct —
+    # for them the barrier would just add a write+read of the whole table.
     df = td.rects(spark, sf_dir)
+    if mat:
+        df = df.localCheckpoint(eager=False)
     return SpatialRelation(df, CONF, max_extent=(td.MAX_EXTENT, td.MAX_EXTENT))
 
 
@@ -91,7 +101,7 @@ def q03_point_location(spark, sf_dir):
 
 
 def q04_knn(spark, sf_dir):
-    rel = _rects_rel(spark, sf_dir)
+    rel = _rects_rel(spark, sf_dir, mat=True)
     return knn.knn_query(rel, P[0], P[1], K).select("id", "dist2")
 
 
@@ -101,7 +111,7 @@ def q53_knn_box(spark, sf_dir):
     — Region↔Region per Region.cc:314-338 — and the C API's
     Index_NearestNeighbors_obj passes a min/max box (sidx_api_test.h:87).
     Tie-inclusive at the k-th distance, like q04."""
-    rel = _rects_rel(spark, sf_dir)
+    rel = _rects_rel(spark, sf_dir, mat=True)
     return knn.knn_box_query(rel, *KBOX, K).select("id", "dist2")
 
 
@@ -112,7 +122,7 @@ def q54_knn_segment(spark, sf_dir):
     engine defines the true clamped segment↔box metric
     (functions/geometry.min_dist2_segment_box) — exact, SQL-expressible,
     tie-inclusive at the k-th like q04/q53."""
-    rel = _rects_rel(spark, sf_dir)
+    rel = _rects_rel(spark, sf_dir, mat=True)
     return knn.knn_segment_query(rel, *SEGQ, K).select("id", "dist2")
 
 
@@ -314,27 +324,44 @@ def q09_time_range(spark, sf_dir):
     """MVR-tree time-versioned range query (SURVEY.md Q9): versions are
     folded from the timestamped insert/delete op stream (every third id is
     deleted mid-life and re-inserted with a shifted box — true multi-
-    version), query dedups ids across versions (visitedData semantics)."""
+    version), query dedups ids across versions (visitedData semantics).
+
+    Lineage barrier on the op stream (the q49 pattern): the 4-branch
+    union over the dyadic derivation would otherwise be substituted into
+    the fold's window/join references — the lazy localCheckpoint
+    materializes the op rows once and the fold reads plain columns
+    (measured −25% at sf0.1; on a stored op log this is moot)."""
     td.register_views(spark, sf_dir)
-    ops = spark.sql(td.MVR_OPS_SQL)
+    ops = spark.sql(td.MVR_OPS_SQL).localCheckpoint(eager=False)
     vers = temporal.versions_from_ops(ops)
     rel = SpatialRelation(vers, CONF, max_extent=(td.MAX_EXTENT, td.MAX_EXTENT))
     return temporal.time_range_query(rel, *W, *TQ).select("id")
 
 
 def q10_moving_range(spark, sf_dir):
-    """TPR-tree moving-object range query (SURVEY.md Q10)."""
+    """TPR-tree moving-object range query (SURVEY.md Q10).
+
+    Lineage barrier before the feasibility predicate (the q49 pattern):
+    ``_axis_interval`` references each of (x, y, vx, vy) ~4×, and
+    CollapseProject would substitute the full dyadic derivation into
+    every reference — codegen blow-up, measured 2.8 s → 0.41 s at sf0.1
+    with the barrier.  On a stored table the columns are already
+    materialized and this is moot."""
     td.register_views(spark, sf_dir)
-    mov = spark.sql(td.MOVING_SQL)
+    mov = spark.sql(td.MOVING_SQL).localCheckpoint(eager=False)
     return temporal.moving_range_query(mov, *W, *MQ).select("id")
 
 
 def q18_moving_region_range(spark, sf_dir):
     """TPR moving-REGION range query (MovingRegion.cc velocity-MBR
     algebra): low/high edges extrapolate with separate velocities;
-    emit entries whose extrapolated box meets W during MQ."""
+    emit entries whose extrapolated box meets W during MQ.
+
+    Lineage barrier before the 8-halfline predicate (the q49/q10
+    pattern — each coordinate/velocity referenced many times; measured
+    4.6 s → 0.47 s at sf0.1)."""
     td.register_views(spark, sf_dir)
-    mr = spark.sql(td.MOVING_REGIONS_SQL)
+    mr = spark.sql(td.MOVING_REGIONS_SQL).localCheckpoint(eager=False)
     return temporal.moving_region_range_query(mr, *W, *MQ).select("id")
 
 
@@ -433,7 +460,7 @@ def q19_knn_join(spark, sf_dir):
     """Batch kNN (kNN join) — the reference's test1 workload (N queries ×
     10NN) as one job: iterative radius doubling over unresolved queries,
     cell equi-join candidates, per-query tie-inclusive threshold."""
-    rel = _rects_rel(spark, sf_dir)
+    rel = _rects_rel(spark, sf_dir, mat=True)
     td.register_views(spark, sf_dir)
     q = spark.sql(
         f"SELECT qid, qxmin AS qx, qymin AS qy FROM ({td.WINDOWS_SQL.strip()})"
@@ -462,16 +489,20 @@ def q22_pip_count_by_poly(spark, sf_dir):
 
 def q23_pip_join_salted(spark, sf_dir):
     """Same result set as q20 via the salted shuffle-join path (skew
-    handling: LISA tie-advance precedent).  ``salt=None`` exercises the
-    r5 STATS-DRIVEN path: the per-cell histogram finds the hottest cell
+    handling: LISA tie-advance precedent).  ``salt="auto"`` exercises the
+    STATS-DRIVEN path: the per-cell histogram finds the hottest cell
     and derives the fan-out from ``hot_cell_threshold`` (set low here so
     the salted plan actually runs at gate scale) — the knob is wired,
-    not caller-guessed."""
+    not caller-guessed.  (r6: the sentinel moved from ``None`` to
+    ``"auto"`` so plain callers keep the cheap unsalted default, and the
+    salted join itself is a distributed shuffled-hash build instead of a
+    driver-side broadcast of the ×salt-exploded layer — ADVICE r5 #5 +
+    guide §3.1.)"""
     pts = td.points(spark, sf_dir)
     pol = td.polys(spark, sf_dir)
     return spatial_join.point_in_box_join(
         pts, pol, "x", "y", POLY_BOX, CONF,
-        broadcast_boxes=False, salt=None, hot_cell_threshold=4,
+        broadcast_boxes=False, salt="auto", hot_cell_threshold=4,
     ).select("id", "poly_id")
 
 
@@ -524,7 +555,11 @@ def q39_winnow_fingerprint(spark, sf_dir):
     """Rolling-hash (bottom-k / winnowing) document sketch: 8 smallest
     k-gram h60 hashes per doc, one row per (doc, rank) so the exact
     compare sees scalars."""
-    d = _docs(spark, sf_dir)
+    # spread(): the gram-hash sketch is CPU-bound and the bench documents
+    # table reads as ONE split — without core-wide input the whole
+    # md5/sort stage runs on one core (measured 3.1 s → 0.38 s at sf0.1);
+    # at real scale the scan is already wide and spread() is a no-op.
+    d = td.spread(_docs(spark, sf_dir), "doc_id")
     fp = text.winnow_fingerprint("text", k=8, s=8)
     return d.select("doc_id", F.posexplode(fp).alias("rank0", "h")).select(
         "doc_id", (F.col("rank0") + 1).alias("rank"), "h"

@@ -291,6 +291,34 @@ def knn_query_custom(
     )
 
 
+_KNN_HIST_N = 64  # per-axis cells of the seed histogram (≤ 4096 rows)
+
+
+def _center_cell_histogram(rel: SpatialRelation):
+    """Center-cell histogram rows for the kNN-join seed (one groupBy job,
+    ≤ ``_KNN_HIST_N``² rows to the driver).  Shared by :func:`knn_join`,
+    which also derives the total row count from it — the separate
+    ``rel.df.count()`` full-scan job the r5 shape paid is gone (guide
+    §1.2: fewer passes)."""
+    conf = rel.conf
+    b = rel.box
+    wxmin, wymin, wxmax, wymax = conf.world
+    nh = _KNN_HIST_N
+    sx = (wxmax - wxmin) / nh
+    sy = (wymax - wymin) / nh
+    ccx = (F.col(b.xmin) + F.col(b.xmax)) / 2
+    ccy = (F.col(b.ymin) + F.col(b.ymax)) / 2
+    hx = F.least(
+        F.lit(nh - 1),
+        F.greatest(F.lit(0), F.floor((ccx - F.lit(wxmin)) / F.lit(sx))),
+    ).cast("long")
+    hy = F.least(
+        F.lit(nh - 1),
+        F.greatest(F.lit(0), F.floor((ccy - F.lit(wymin)) / F.lit(sy))),
+    ).cast("long")
+    return rel.df.groupBy(hx.alias("hx"), hy.alias("hy")).count().collect()
+
+
 def _knn_join_seed_round(
     rel: SpatialRelation,
     pending: DataFrame,
@@ -302,6 +330,7 @@ def _knn_join_seed_round(
     qid_col: str,
     _cells_of_box,
     _cell_of_point,
+    hist=None,
 ):
     """Histogram-seeded single-pass round for :func:`knn_join`.
 
@@ -329,17 +358,8 @@ def _knn_join_seed_round(
     nh = 64
     sx = (wxmax - wxmin) / nh
     sy = (wymax - wymin) / nh
-    ccx = (F.col(b.xmin) + F.col(b.xmax)) / 2
-    ccy = (F.col(b.ymin) + F.col(b.ymax)) / 2
-    hx = F.least(
-        F.lit(nh - 1),
-        F.greatest(F.lit(0), F.floor((ccx - F.lit(wxmin)) / F.lit(sx))),
-    ).cast("long")
-    hy = F.least(
-        F.lit(nh - 1),
-        F.greatest(F.lit(0), F.floor((ccy - F.lit(wymin)) / F.lit(sy))),
-    ).cast("long")
-    hist = rel.df.groupBy(hx.alias("hx"), hy.alias("hy")).count().collect()
+    if hist is None:
+        hist = _center_cell_histogram(rel)
     if not hist:
         return None
     hxa = np.array([r["hx"] for r in hist], dtype=np.int64)
@@ -460,7 +480,10 @@ def knn_join(
     b = rel.box
     wxmin, wymin, wxmax, wymax = conf.world
     world_r = max(wxmax - wxmin, wymax - wymin)
-    n_rows = rel.df.count()
+    # One pass does double duty: the seed histogram's count sum IS the
+    # relation row count — the separate full-scan count() job is gone.
+    hist = _center_cell_histogram(rel)
+    n_rows = sum(row["count"] for row in hist)
     r = max(
         conf.knn_ring_init,
         1.5 * world_r * math.sqrt(k / max(n_rows, 1)),
@@ -490,7 +513,7 @@ def knn_join(
     # as the completeness fallback (k > N, float edges).
     seeded = _knn_join_seed_round(
         rel, pending, k, d2, dist_col, win, world_r, qid_col,
-        _cells_of_box, _cell_of_point,
+        _cells_of_box, _cell_of_point, hist=hist,
     )
     if seeded is not None:
         rows0, done0 = seeded  # both already materialized (localCheckpoint)

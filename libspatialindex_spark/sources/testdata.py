@@ -19,6 +19,7 @@ source of truth, zero drift.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -193,10 +194,26 @@ WHERE o_orderkey % 307 = 1
 """
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every testdata table as a temp view (idempotent)."""
+# Per-session registration memo: ``register_views`` is called by every
+# derived-table helper (rects/points/polys/…), typically several times per
+# query, and each call used to re-read all 10 parquet footers (~1.1 s of
+# driver-side schema/listing latency at sf0.1 — measured, guide §1).  The
+# views themselves are session-scoped and lazy, so re-registering the same
+# (session, sf_dir) is pure waste; memoize on the application id and only
+# re-register when the sf_dir changes (or ``force=True`` for callers that
+# mutated the files under the path).
+_REGISTERED: dict[str, str] = {}
+
+
+def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
+    """Register every testdata table as a temp view (idempotent, memoized
+    per (session, sf_dir) — pass ``force=True`` after changing the files)."""
+    key = spark.sparkContext.applicationId
+    if not force and _REGISTERED.get(key) == sf_dir:
+        return
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    _REGISTERED[key] = sf_dir
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -216,6 +233,20 @@ def points(spark: SparkSession, sf_dir: str) -> DataFrame:
 def polys(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(POLYS_SQL)
+
+
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Give a codec ``mapInPandas`` stage full parallelism when the source
+    collapses to fewer splits than cores (single-file/single-row-group
+    parquet — the bench testdata shape).  A no-op whenever the scan is
+    already at least core-wide, so at real scale (input partitions ≫
+    cores) no shuffle is added; locally it moves only the projected key
+    column (guide §2.6/§4.2: keep every core busy under a CPU-bound
+    Arrow stage)."""
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= dp:
+        return df
+    return df.repartition(dp, F.col(key))
 
 
 def audio_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,7 +277,7 @@ def audio_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"clip_id": ids, "bytes": blobs, "codec": "wav"}
             )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     return docs.mapInPandas(work, "clip_id long, bytes binary, codec string")
 
 
@@ -300,5 +331,5 @@ def video_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"video_id": ids.astype(str), "bytes": blobs, "fmt": "avi"}
             )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     return docs.mapInPandas(work, "video_id string, bytes binary, fmt string")

@@ -57,10 +57,11 @@ def test_salted_join_equals_broadcast_under_skew(skewed):
 
 
 def test_auto_salt_from_hot_cell_threshold(skewed):
-    """salt=None derives the fan-out from the per-cell histogram: with a
+    """salt="auto" derives the fan-out from the per-cell histogram: with a
     tiny hot_cell_threshold the hot cell trips auto-salting, and the
     result set is EXACTLY the broadcast join's (the wiring fix for the
-    r4 dead-parameter finding)."""
+    r4 dead-parameter finding; r6 moved the sentinel from None to "auto"
+    so plain callers keep the cheap unsalted default — ADVICE r5 #5)."""
     conf, imgs, polys = skewed
     box = pipeline.POLY_BOX
     want = {
@@ -73,7 +74,7 @@ def test_auto_salt_from_hot_cell_threshold(skewed):
         (r.image_id, r.poly_id)
         for r in spatial_join.point_in_box_join(
             imgs, polys, "x", "y", box, conf,
-            broadcast_boxes=False, salt=None, hot_cell_threshold=50,
+            broadcast_boxes=False, salt="auto", hot_cell_threshold=50,
         ).select("image_id", "poly_id").collect()
     }
     assert auto == want
@@ -83,8 +84,44 @@ def test_auto_salt_from_hot_cell_threshold(skewed):
         (r.image_id, r.poly_id)
         for r in spatial_join.point_in_box_join(
             imgs, polys, "x", "y", box, conf,
-            broadcast_boxes=False, salt=None,
+            broadcast_boxes=False, salt="auto",
             hot_cell_threshold=10_000_000,
         ).select("image_id", "poly_id").collect()
     }
     assert unsalted == want
+
+
+def test_auto_salt_seeded_from_caller_stats(skewed):
+    """hot_cell_stats seeds the auto-salt decision WITHOUT the per-cell
+    histogram job (VERDICT r5 #4: a stored layout's build-time stats
+    replace the second fact-table read); the result is identical either
+    way since the salt factor only changes partitioning."""
+    conf, imgs, polys = skewed
+    box = pipeline.POLY_BOX
+    want = {
+        (r.image_id, r.poly_id)
+        for r in spatial_join.point_in_box_join(
+            imgs, polys, "x", "y", box, conf, broadcast_boxes=True
+        ).select("image_id", "poly_id").collect()
+    }
+    seeded = {
+        (r.image_id, r.poly_id)
+        for r in spatial_join.point_in_box_join(
+            imgs, polys, "x", "y", box, conf,
+            broadcast_boxes=False, salt="auto", hot_cell_threshold=50,
+            hot_cell_stats=500,  # pretend manifest: hottest cell 500 rows
+        ).select("image_id", "poly_id").collect()
+    }
+    assert seeded == want
+
+
+def test_salt_none_is_unsalted(skewed):
+    """salt=None (the default) never runs a stats job and never salts —
+    the pre-r5 cheap behavior ADVICE r5 #5 asked to restore.  The plan
+    must contain no _salt key and the result stays exact."""
+    conf, imgs, polys = skewed
+    box = pipeline.POLY_BOX
+    j = spatial_join.point_in_box_join(
+        imgs, polys, "x", "y", box, conf, broadcast_boxes=False, salt=None
+    )
+    assert "_salt" not in j._jdf.queryExecution().executedPlan().toString()
