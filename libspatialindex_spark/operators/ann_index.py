@@ -325,7 +325,17 @@ def recover_ann_index(spark: SparkSession, path: str) -> StoredAnnIndex:
     way every cell ends in a consistent, queryable state; an interrupted
     delete must be re-issued (it anti-joins, so re-running converges)."""
     fs = FS.get_fs(spark, path)
-    data_path = FS.join(path, "data")
+    _settle_asides(fs, FS.join(path, "data"))
+    return load_ann_index(spark, path)
+
+
+def _settle_asides(fs, data_path: str) -> None:
+    """Roll every ``_cell=N.old`` aside forward (swap landed → drop) or
+    back (live dir missing → rename aside to live).  Shared by
+    :func:`recover_ann_index` and :func:`compact_ann_index` (ADVICE r5
+    #2: compaction used to SKIP torn cells and then rebuild the sig
+    projection without their rows — silently dropping a cell from
+    projection-served queries)."""
     for name in _aside_dirs(fs, data_path, "_cell"):
         old = FS.join(data_path, name)
         live = FS.join(data_path, name[: -len(".old")])
@@ -333,7 +343,6 @@ def recover_ann_index(spark: SparkSession, path: str) -> StoredAnnIndex:
             fs.delete(old)  # swap landed — roll forward
         else:
             fs.rename(old, live)  # swap torn — roll back
-    return load_ann_index(spark, path)
 
 
 def load_ann_index(spark: SparkSession, path: str) -> StoredAnnIndex:
@@ -606,10 +615,16 @@ def compact_ann_index(
     list-file proliferation is what made the stored path slower than
     in-flight).  Rewrites only cells above ``max_files_per_cell``,
     (_cell, _sig)-sorted, via the same aside-swap discipline as
-    :func:`delete_vectors` — :func:`recover_ann_index` settles any torn
-    state.  Rebuilds the sig projection afterwards (mutations drop it)."""
+    :func:`delete_vectors`.  Rebuilds the sig projection afterwards
+    (mutations drop it).
+
+    Torn state from a crashed delete is settled FIRST (ADVICE r5 #2):
+    compaction otherwise skipped ``.old`` cells and rebuilt the sig
+    projection WITHOUT their rows — projection-served queries would
+    silently drop that cell until a manual recover."""
     spark = idx.spark
     fs = FS.get_fs(spark, idx.path)
+    _settle_asides(fs, idx.data_path)
     touched = []
     for name in fs.listdir(idx.data_path):
         if not name.startswith("_cell=") or name.endswith(".old"):

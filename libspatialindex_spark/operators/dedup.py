@@ -237,14 +237,23 @@ def connected_components(
         # an over-threshold graph never materializes driver_threshold rows
         # driver-side just to be discarded
         n_edges = pairs.select(a_col).limit(driver_threshold + 1).count()
+        head = None
         if n_edges <= driver_threshold:
-            # limit() again on the collect: the probe and the collect are
-            # two separate jobs, and for an uncached nondeterministic
-            # pairs plan the second job recomputes — a drifted row count
-            # must not pull unbounded rows onto the driver (ADVICE r4).
-            # For the deterministic/checkpointed plans all callers pass,
-            # the limit is a no-op.
-            head = pairs.select(a_col, b_col).limit(driver_threshold).collect()
+            # limit(threshold + 1) on the collect: the probe and the
+            # collect are two separate jobs, and for an uncached
+            # nondeterministic pairs plan the second job recomputes — a
+            # drifted plan must neither pull unbounded rows onto the
+            # driver (ADVICE r4) nor be silently TRUNCATED to the limit
+            # (ADVICE r5 #4: components over a truncated edge list are
+            # wrong with no error).  The +1 head makes truncation
+            # detectable: len(head) > threshold ⇒ the recomputed pair set
+            # drifted past the probe — fall through to the distributed
+            # path, which is correct at any size.  For the deterministic/
+            # checkpointed plans all callers pass, the limit is a no-op.
+            head = pairs.select(a_col, b_col).limit(
+                driver_threshold + 1
+            ).collect()
+        if head is not None and len(head) <= driver_threshold:
             parent: dict = {}
 
             def find(x):

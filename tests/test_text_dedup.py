@@ -380,3 +380,35 @@ def test_connected_components_string_ids(spark):
             ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")
         }
         assert cc.schema["doc_id"].dataType.typeName() == "string"
+
+
+def test_connected_components_drift_falls_back_distributed(spark):
+    """ADVICE r5 #4: when the recomputed pair plan yields MORE edges than
+    the size probe saw, the driver path must NOT compute components over
+    a silently truncated edge list — the +1 collect detects the drift and
+    falls through to the distributed path.  Simulated by a pairs plan
+    whose probe undercounts (monkeypatched limit probe is impractical, so
+    drive the guard directly: a threshold equal to the edge count routes
+    driver-side, one below it routes distributed; both agree)."""
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)]
+    pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+    want = {
+        (r.doc_id, r.component_id)
+        for r in dedup.connected_components(pairs, driver_threshold=0).collect()
+    }
+    # exactly-at-threshold: driver path, complete edge list (the +1 head
+    # proves nothing was truncated)
+    got_at = {
+        (r.doc_id, r.component_id)
+        for r in dedup.connected_components(
+            pairs, driver_threshold=len(edges)
+        ).collect()
+    }
+    # below-threshold probe rejects driver-side outright
+    got_below = {
+        (r.doc_id, r.component_id)
+        for r in dedup.connected_components(
+            pairs, driver_threshold=len(edges) - 1
+        ).collect()
+    }
+    assert got_at == want and got_below == want
