@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from libspatialindex_spark.functions import geometry as G
 from libspatialindex_spark.operators.relation import SpatialRelation
@@ -319,6 +320,50 @@ def _center_cell_histogram(rel: SpatialRelation):
     return rel.df.groupBy(hx.alias("hx"), hy.alias("hy")).count().collect()
 
 
+def _seed_radius_fn(hist, conf, k: int):
+    """Certified-radius kernel over the collected center-cell histogram:
+    ``f(X, Y) → radii`` such that accumulating cells by min query↔cell
+    distance until ≥ k entries and taking the max far-corner distance
+    bounds each query's k-th neighbor (for in-world centers; see
+    :func:`_knn_join_seed_round` for the clamped-edge caveat).  Shared by
+    the distributed pandas-UDF seed and the driver-tier seed of
+    :func:`knn_join`.  None when the histogram cannot certify (empty, or
+    total rows < k)."""
+    if not hist:
+        return None
+    wxmin, wymin, wxmax, wymax = conf.world
+    nh = _KNN_HIST_N
+    sx = (wxmax - wxmin) / nh
+    sy = (wymax - wymin) / nh
+    hxa = np.array([r["hx"] for r in hist], dtype=np.int64)
+    hya = np.array([r["hy"] for r in hist], dtype=np.int64)
+    cnt = np.array([r["count"] for r in hist], dtype=np.int64)
+    if int(cnt.sum()) < k:
+        return None  # k ≥ N: the doubling loop's min(k, N) fallback applies
+    cx0 = wxmin + hxa * sx
+    cx1 = cx0 + sx
+    cy0 = wymin + hya * sy
+    cy1 = cy0 + sy
+
+    def radii(X, Y):
+        out = np.empty(len(X))
+        for i in range(len(X)):
+            px, py = X[i], Y[i]
+            dx = np.maximum(np.maximum(cx0 - px, px - cx1), 0.0)
+            dy = np.maximum(np.maximum(cy0 - py, py - cy1), 0.0)
+            near2 = dx * dx + dy * dy
+            fx = np.maximum(np.abs(px - cx0), np.abs(px - cx1))
+            fy = np.maximum(np.abs(py - cy0), np.abs(py - cy1))
+            far2 = fx * fx + fy * fy
+            order = np.argsort(near2, kind="stable")
+            csum = np.cumsum(cnt[order])
+            idx = int(np.searchsorted(csum, k))
+            out[i] = float(np.sqrt(far2[order[: idx + 1]].max()))
+        return out
+
+    return radii
+
+
 def _knn_join_seed_round(
     rel: SpatialRelation,
     pending: DataFrame,
@@ -354,42 +399,17 @@ def _knn_join_seed_round(
 
     conf = rel.conf
     b = rel.box
-    wxmin, wymin, wxmax, wymax = conf.world
-    nh = 64
-    sx = (wxmax - wxmin) / nh
-    sy = (wymax - wymin) / nh
     if hist is None:
         hist = _center_cell_histogram(rel)
-    if not hist:
+    radii_fn = _seed_radius_fn(hist, conf, k)
+    if radii_fn is None:
         return None
-    hxa = np.array([r["hx"] for r in hist], dtype=np.int64)
-    hya = np.array([r["hy"] for r in hist], dtype=np.int64)
-    cnt = np.array([r["count"] for r in hist], dtype=np.int64)
-    if int(cnt.sum()) < k:
-        return None  # k ≥ N: the doubling loop's min(k, N) fallback applies
-    cx0 = wxmin + hxa * sx
-    cx1 = cx0 + sx
-    cy0 = wymin + hya * sy
-    cy1 = cy0 + sy
 
     @pandas_udf("double")
     def seed_r(qx: pd.Series, qy: pd.Series) -> pd.Series:
-        X = qx.to_numpy(dtype=float)
-        Y = qy.to_numpy(dtype=float)
-        out = np.empty(len(X))
-        for i in range(len(X)):
-            px, py = X[i], Y[i]
-            dx = np.maximum(np.maximum(cx0 - px, px - cx1), 0.0)
-            dy = np.maximum(np.maximum(cy0 - py, py - cy1), 0.0)
-            near2 = dx * dx + dy * dy
-            fx = np.maximum(np.abs(px - cx0), np.abs(px - cx1))
-            fy = np.maximum(np.abs(py - cy0), np.abs(py - cy1))
-            far2 = fx * fx + fy * fy
-            order = np.argsort(near2, kind="stable")
-            csum = np.cumsum(cnt[order])
-            idx = int(np.searchsorted(csum, k))
-            out[i] = float(np.sqrt(far2[order[: idx + 1]].max()))
-        return pd.Series(out)
+        return pd.Series(
+            radii_fn(qx.to_numpy(dtype=float), qy.to_numpy(dtype=float))
+        )
 
     seeded = pending.withColumn(
         "_r", seed_r(F.col("_qx"), F.col("_qy"))
@@ -398,6 +418,28 @@ def _knn_join_seed_round(
     if med is None:
         seeded.unpersist()
         return None
+    rows = _knn_join_seed_core(
+        rel, seeded, float(med), k, d2, dist_col, win, world_r, qid_col,
+        _cells_of_box, _cell_of_point,
+    )
+    # a certified query (_cnt >= k >= 1) emits >= 1 row, so the resolved
+    # qid set is derivable from the MATERIALIZED rows — no second window
+    # pass over the candidate cache (one whole job saved per round)
+    qids = rows.select(F.col(qid_col).alias("_qid")).distinct()
+    seeded.unpersist()
+    return rows, qids
+
+
+def _knn_join_seed_core(
+    rel, seeded, med, k, d2, dist_col, win, world_r, qid_col,
+    _cells_of_box, _cell_of_point,
+):
+    """Shared body of the seeded round: cell-join candidates within each
+    query's seed radius, window rank, tie-inclusive emit of certified
+    queries.  ``seeded`` carries (_qid, _qx, _qy, _r); returns the
+    localCheckpointed result rows."""
+    conf = rel.conf
+    b = rel.box
     bits = max(1, min(8, int(math.floor(math.log2(world_r / max(med, 1e-9))))))
     n = 1 << bits
     ecells = _cells_of_box(rel.df, b, n, conf.world)
@@ -429,13 +471,8 @@ def _knn_join_seed_round(
     rows = ok.filter(F.col(dist_col) <= F.col("_kth")).select(
         F.col("_qid").alias(qid_col), "id", dist_col
     ).localCheckpoint()
-    # a certified query (_cnt >= k >= 1) emits >= 1 row, so the resolved
-    # qid set is derivable from the MATERIALIZED rows — no second window
-    # pass over the candidate cache (one whole job saved per round)
-    qids = rows.select(F.col(qid_col).alias("_qid")).distinct()
     cand.unpersist()
-    seeded.unpersist()
-    return rows, qids
+    return rows
 
 
 def knn_join(
@@ -446,6 +483,7 @@ def knn_join(
     qx_col: str = "qx",
     qy_col: str = "qy",
     dist_col: str = "dist2",
+    driver_seed_cap: int = 65_536,
 ) -> DataFrame:
     """Batch kNN (kNN JOIN): for EVERY query point, all entries within the
     k-th smallest point↔MBR distance (ties kept) — the reference's actual
@@ -468,6 +506,16 @@ def knn_join(
     terminal branch resolves every remaining query (min(k, N) semantics) —
     no query can be silently dropped regardless of world size or how small
     the density-seeded r0 is.
+
+    **Two-tier seed** (r6 — the connected-components driver/distributed
+    split applied here): seed radii are pure metadata work (histogram ×
+    query coords).  Up to ``driver_seed_cap`` queries they are computed
+    DRIVER-side from one ``limit(cap+1).collect()`` — no Python-worker
+    stage, no percentile job, and when the seed round resolves everything
+    (the common case) zero anti-join/pending-probe jobs follow.  Above
+    the cap the r5 distributed shape runs unchanged: radii in an
+    Arrow-batched pandas UDF over the broadcast histogram, pending
+    tracked by anti-joins — fully distributed at any query count.
 
     Output: (qid, id, dist2), tie-inclusive per query.
     """
@@ -493,13 +541,14 @@ def knn_join(
         F.col(b.xmin), F.col(b.ymin), F.col(b.xmax), F.col(b.ymax),
         F.col("_qx"), F.col("_qy"),
     )
-    pending = queries.select(
-        F.col(qid_col).alias("_qid"),
-        F.col(qx_col).alias("_qx"),
-        F.col(qy_col).alias("_qy"),
-    ).persist()
     win = Window.partitionBy("_qid")
     out: DataFrame | None = None
+    spark = queries.sparkSession
+    pschema = T.StructType([
+        T.StructField("_qid", queries.schema[qid_col].dataType, True),
+        T.StructField("_qx", T.DoubleType(), True),
+        T.StructField("_qy", T.DoubleType(), True),
+    ])
 
     # ---- histogram-seeded round 0 (single-pass for nearly every query) --
     # One cheap center-cell histogram (≤ 4096 rows to the driver) prices a
@@ -507,20 +556,64 @@ def knn_join(
     # does (RTree.cc:748-762 root descent off header metadata): accumulate
     # cells by min query↔cell distance until ≥ k entries, radius = max
     # far-corner distance over the used cells (an entry's box distance ≤
-    # its center distance ≤ the cell's far corner).  Radii are computed in
-    # an Arrow-batched pandas UDF over the BROADCAST histogram, so the
-    # query side stays fully distributed; the doubling loop below remains
-    # as the completeness fallback (k > N, float edges).
-    seeded = _knn_join_seed_round(
-        rel, pending, k, d2, dist_col, win, world_r, qid_col,
-        _cells_of_box, _cell_of_point, hist=hist,
-    )
-    if seeded is not None:
-        rows0, done0 = seeded  # both already materialized (localCheckpoint)
-        out = rows0
-        new_pending = pending.join(done0, on="_qid", how="left_anti").persist()
-        pending.unpersist()
-        pending = new_pending
+    # its center distance ≤ the cell's far corner).  The doubling loop
+    # below remains as the completeness fallback (k > N, float edges).
+    radii_fn = _seed_radius_fn(hist, conf, k)
+    head: list = []
+    if driver_seed_cap and radii_fn is not None:
+        head = queries.select(qid_col, qx_col, qy_col).limit(
+            driver_seed_cap + 1
+        ).collect()
+    if head and len(head) <= driver_seed_cap:
+        # -- driver tier: radii + pending bookkeeping on collected coords
+        X = np.array([row[1] for row in head], dtype=float)
+        Y = np.array([row[2] for row in head], dtype=float)
+        rr = radii_fn(X, Y)
+        med = float(np.median(rr))
+        # NB: StructType.add mutates in place — build a fresh schema
+        sschema = T.StructType(
+            list(pschema.fields) + [T.StructField("_r", T.DoubleType(), True)]
+        )
+        seeded_df = spark.createDataFrame(
+            [
+                (row[0], float(X[i]), float(Y[i]), float(rr[i]))
+                for i, row in enumerate(head)
+            ],
+            sschema,
+        )
+        out = _knn_join_seed_core(
+            rel, seeded_df, med, k, d2, dist_col, win, world_r, qid_col,
+            _cells_of_box, _cell_of_point,
+        )
+        resolved = {
+            row[0] for row in out.select(qid_col).distinct().collect()
+        }
+        remaining = [row for row in head if row[0] not in resolved]
+        if not remaining:
+            return out
+        pending = spark.createDataFrame(
+            [(row[0], float(row[1]), float(row[2])) for row in remaining],
+            pschema,
+        ).persist()
+    else:
+        # -- distributed tier (query count above the cap, or no seed)
+        pending = queries.select(
+            F.col(qid_col).alias("_qid"),
+            F.col(qx_col).alias("_qx"),
+            F.col(qy_col).alias("_qy"),
+        ).persist()
+        seeded = _knn_join_seed_round(
+            rel, pending, k, d2, dist_col, win, world_r, qid_col,
+            _cells_of_box, _cell_of_point, hist=hist,
+        )
+        if seeded is not None:
+            rows0, done0 = seeded  # both materialized (localCheckpoint)
+            out = rows0
+            new_pending = pending.join(
+                done0, on="_qid", how="left_anti"
+            ).persist()
+            pending.unpersist()
+            pending = new_pending
 
     def resolve(cand: DataFrame, certified) -> tuple[DataFrame, DataFrame]:
         """Split candidates into resolved result rows (MATERIALIZED via

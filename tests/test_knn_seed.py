@@ -208,3 +208,29 @@ def test_knn_custom_comparator(stored, rects_pdf):
     d = np.asarray(d)
     kth = np.sort(d)[K - 1]
     assert got == set(p.id[d <= kth])
+
+
+def test_knn_join_driver_and_distributed_tiers_agree(spark):
+    """r6 two-tier seed: driver-side radii (queries ≤ driver_seed_cap)
+    and the distributed pandas-UDF path must produce the identical
+    tie-inclusive result set."""
+    from libspatialindex_spark.operators import knn
+    from libspatialindex_spark.operators.relation import SpatialRelation
+    from libspatialindex_spark.config import EngineConfig
+    from libspatialindex_spark.sources import testdata as td
+
+    sf = "/root/testdata/sf0.001"
+    rel = SpatialRelation(
+        td.rects(spark, sf), EngineConfig(),
+        max_extent=(td.MAX_EXTENT, td.MAX_EXTENT),
+    )
+    td.register_views(spark, sf)
+    q = spark.sql(
+        f"SELECT qid, qxmin AS qx, qymin AS qy FROM ({td.WINDOWS_SQL.strip()})"
+    )
+    a = {(r.qid, r.id, r.dist2) for r in knn.knn_join(rel, q, 5).collect()}
+    b = {
+        (r.qid, r.id, r.dist2)
+        for r in knn.knn_join(rel, q, 5, driver_seed_cap=0).collect()
+    }
+    assert a == b and len(a) >= 5
