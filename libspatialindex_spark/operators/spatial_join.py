@@ -77,6 +77,7 @@ def self_join_query(
     qymax: float,
     id_col: str = "id",
     join_bits: int | None = None,
+    broadcast_rows_max: int = 100_000,
 ) -> DataFrame:
     """Q5 — pairs (id1, id2), both orders, id1 ≠ id2, both boxes
     intersecting the window and each other (closed intervals).
@@ -84,7 +85,17 @@ def self_join_query(
     ``join_bits`` (cell resolution of the equi-join key) defaults
     adaptively: cells ≈ max-extent/4 balance explode fan-out (coarse cells)
     against per-cell candidate quadratics (fine cells) — measured 9× swing
-    on the benchmark fixture."""
+    on the benchmark fixture.
+
+    Join strategy is DATA-ADAPTIVE (guide §3.1): the window-filtered base
+    is materialized anyway (it feeds both sides), so its exact count is
+    free — below ``broadcast_rows_max`` rows one side broadcasts and the
+    probe side is spread evenly over the cluster, which removes both the
+    cell shuffle and the hot-cell skew of a concentrated window (a tiny
+    window packs every surviving box into a handful of cells, so the
+    shuffle join ran its per-cell quadratic on that many tasks — measured
+    2.0 s → 0.9 s at sf0.1).  Larger bases keep the cell-keyed shuffle
+    join, which scales to any window."""
     import math
 
     conf = rel.conf
@@ -109,16 +120,20 @@ def self_join_query(
         )
     ).select(id_col, b.xmin, b.ymin, b.xmax, b.ymax).persist()
     try:
-        return _self_join_pairs(base, b, n, conf, id_col).localCheckpoint()
+        n_base = base.count()  # materializes the cache; sizes the strategy
+        return _self_join_pairs(
+            base, b, n, conf, id_col,
+            broadcast=(n_base <= broadcast_rows_max),
+        ).localCheckpoint()
     finally:
-        # The pair result is tiny (window-restricted); materializing it
-        # eagerly lets the window-filtered base's blocks be released here
-        # instead of leaking into a long-lived session (VERDICT r5 #5 —
-        # the same persist-leak class the r5 knn_segment fix closed).
+        # Materializing the pairs eagerly lets the window-filtered base's
+        # blocks be released here instead of leaking into a long-lived
+        # session (VERDICT r5 #5 — the same persist-leak class the r5
+        # knn_segment fix closed).
         base.unpersist()
 
 
-def _self_join_pairs(base, b, n, conf, id_col):
+def _self_join_pairs(base, b, n, conf, id_col, broadcast=False):
     cells = _cells_of_box(base, b, n, conf.world)
     left = cells.select(
         F.col(id_col).alias("id1"),
@@ -132,6 +147,15 @@ def _self_join_pairs(base, b, n, conf, id_col):
         F.col(b.xmax).alias("_bxmax"), F.col(b.ymax).alias("_bymax"),
         F.col("cell"),
     )
+    if broadcast:
+        # Small base: broadcast one side, spread the probe side evenly —
+        # no cell shuffle, and the per-cell quadratic of a concentrated
+        # window distributes over every core instead of the few tasks
+        # owning the hot cells.
+        dp = base.sparkSession.sparkContext.defaultParallelism
+        if left.rdd.getNumPartitions() < dp:
+            left = left.repartition(dp)
+        right = F.broadcast(right)
 
     pair_ok = G.intersects(
         F.col("_axmin"), F.col("_aymin"), F.col("_axmax"), F.col("_aymax"),

@@ -217,3 +217,180 @@ def test_fuzz_stored_index_with_mutations(workload, tmp_path_factory):
     mutations.compact(idx)
     assert idx.validate()
     check(allids - vset)
+
+
+def test_fuzz_versions_from_ops(workload):
+    """Fresh-seed temporal fold (VERDICT r5 #6): a random insert/delete
+    op stream — re-inserts with IDENTICAL boxes, same-timestamp
+    delete+insert, never-deleted entries — folded by
+    ``temporal.versions_from_ops`` vs a python rank-matching oracle.
+    Exact row-set equality (also pins the r6 groupBy-zip fold)."""
+    from libspatialindex_spark.operators import temporal
+
+    a, rng, rel = workload
+    spark = rel.df.sparkSession
+    n_ent = 120
+    ops = []
+    want = set()
+    for i in range(n_ent):
+        box = tuple(
+            float(v)
+            for v in (a["xmin"][i], a["ymin"][i], a["xmax"][i], a["ymax"][i])
+        )
+        t0 = float(rng.integers(0, 50))
+        life = float(rng.integers(1, 20))
+        kind = int(rng.integers(0, 4))
+        if kind == 0:  # plain lifetime
+            ops += [(1, i, t0, *box), (0, i, t0 + life, *box)]
+            want.add((i, *box, t0, t0 + life))
+        elif kind == 1:  # never deleted (open interval)
+            ops += [(1, i, t0, *box)]
+            want.add((i, *box, t0, 1.0e18))
+        elif kind == 2:  # delete + re-insert with the SAME box at one t
+            tm = t0 + life
+            ops += [
+                (1, i, t0, *box), (0, i, tm, *box),
+                (1, i, tm, *box), (0, i, tm + life, *box),
+            ]
+            want.add((i, *box, t0, tm))
+            want.add((i, *box, tm, tm + life))
+        else:  # shifted second version (distinct box)
+            dx = float(rng.integers(1, 9)) / 1024.0
+            box2 = (box[0] + dx, box[1], box[2] + dx, box[3])
+            tm = t0 + life
+            ops += [
+                (1, i, t0, *box), (0, i, tm, *box),
+                (1, i, tm, *box2), (0, i, tm + life, *box2),
+            ]
+            want.add((i, *box, t0, tm))
+            want.add((i, *box2, tm, tm + life))
+    df = spark.createDataFrame(
+        ops, "op int, id long, t double, xmin double, ymin double, "
+        "xmax double, ymax double",
+    )
+    got = {
+        (r.id, r.xmin, r.ymin, r.xmax, r.ymax, r.tstart, r.tend)
+        for r in temporal.versions_from_ops(df).collect()
+    }
+    assert got == want
+
+
+def test_fuzz_knn_join(workload):
+    """Fresh-seed batch kNN join (VERDICT r5 #6): 25 random query points
+    against the workload rects, tie-inclusive per query, vs the numpy
+    exhaustive oracle (Exhaustive.cc:157-188 tie rule per query)."""
+    a, rng, rel = workload
+    spark = rel.df.sparkSession
+    k = 10
+    qpts = [(int(j), float(x), float(y)) for j, (x, y) in enumerate(
+        zip(rng.uniform(0.0, 1.0, 25), rng.uniform(0.0, 1.0, 25))
+    )]
+    q = spark.createDataFrame(qpts, "qid long, qx double, qy double")
+    got = {
+        (r.qid, r.id)
+        for r in knn.knn_join(rel, q, k).collect()
+    }
+    want = set()
+    for qid, px, py in qpts:
+        dx = np.maximum.reduce([a["xmin"] - px, px - a["xmax"], np.zeros(N)])
+        dy = np.maximum.reduce([a["ymin"] - py, py - a["ymax"], np.zeros(N)])
+        d2 = dx * dx + dy * dy
+        kth = np.sort(d2)[k - 1]
+        want |= {(qid, int(i)) for i in a["id"][d2 <= kth]}
+    assert got == want
+
+
+def _h60_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_fuzz_minhash_cc(workload):
+    """Fresh-seed text dedup (VERDICT r5 #6): a random corpus with
+    PLANTED near-duplicates, engine minhash-LSH pairs vs an exact python
+    replica (same shingles → h60 → 16-hash signature → 4 bands →
+    candidate ∪ verify pipeline), then connected components vs a python
+    union-find over the same pair set."""
+    from libspatialindex_spark.operators import dedup
+
+    a, rng, rel = workload
+    spark = rel.df.sparkSession
+    alpha = "abcdefgh "
+    docs = []
+    for i in range(60):
+        docs.append("".join(alpha[j] for j in rng.integers(0, 9, 120)))
+    # plant near-dups: copies with a handful of point edits
+    for i in range(20):
+        src = docs[int(rng.integers(0, 60))]
+        chars = list(src)
+        for _ in range(int(rng.integers(1, 5))):
+            chars[int(rng.integers(0, len(chars)))] = alpha[int(rng.integers(0, 9))]
+        docs.append("".join(chars))
+    ddf = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r.id1, r.id2)
+        for r in dedup.minhash_lsh_pairs(
+            ddf, k=8, n_hashes=16, bands=4, threshold=0.4, portable=True
+        ).collect()
+    }
+    # exact python replica
+    M61 = dedup.MERSENNE61
+
+    def grams(t):
+        if len(t) < 8:
+            return {t}
+        return {t[i:i + 8] for i in range(len(t) - 7)}
+
+    def sig(t):
+        hv = [_h60_py(g) for g in sorted(grams(t))]
+        return [
+            min((h * A + B) % M61 for h in hv)
+            for A, B in dedup.MINHASH_PARAMS[:16]
+        ]
+
+    sigs = {i: sig(t) for i, t in enumerate(docs)}
+    gsets = {i: grams(t) for i, t in enumerate(docs)}
+    want = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            share = any(
+                sigs[i][b * 4:(b + 1) * 4] == sigs[j][b * 4:(b + 1) * 4]
+                for b in range(4)
+            )
+            if not share:
+                continue
+            inter = len(gsets[i] & gsets[j])
+            union = len(gsets[i] | gsets[j])
+            if union and inter / union >= 0.4:
+                want.add((i, j))
+    assert got == want
+
+    # components: engine CC (driver tier) vs python union-find
+    pairs = dedup.minhash_lsh_pairs(
+        ddf, k=8, n_hashes=16, bands=4, threshold=0.4, portable=True
+    )
+    got_cc = {
+        (r.doc_id, r.component_id)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in want:
+        parent.setdefault(i, i)
+        parent.setdefault(j, j)
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            if rj < ri:
+                ri, rj = rj, ri
+            parent[rj] = ri
+    want_cc = {(x, find(x)) for x in parent}
+    assert got_cc == want_cc
