@@ -449,10 +449,27 @@ def lsh_near_dup_pairs_stored(
     ``_bk``, equi-join on (band, key) shipping only (id, band, key),
     verify with stored quantized vectors joined back by id.  Result ≡
     ``similarity.lsh_near_dup_pairs`` — without recomputing a single
-    signature."""
+    signature.
+
+    Up to ``similarity.MATMUL_BROADCAST_MAX_ROWS`` vectors the verify runs
+    as the fused matrix-broadcast tier (``similarity.fused_banded_verify``
+    — first-match-band dedup + numpy matmul, no dropDuplicates exchange
+    and no per-candidate array join-backs); above it the join-back shape
+    below runs unchanged — scale-safe."""
+    from libspatialindex_spark.operators import similarity as _sim
+
     base = idx.df().select(
         F.col(idx.id_col).alias("_id"), "_q", "_n2", "_bk"
     ).persist()
+    n_rows = base.count()  # materializes the cache; sizes the tier
+    if n_rows <= _sim.MATMUL_BROADCAST_MAX_ROWS and _sim._integral_id(
+        base, "_id"
+    ):
+        id_t = base.schema["_id"].dataType.simpleString()
+        try:
+            return _sim.fused_banded_verify(base, threshold, id_t)
+        finally:
+            base.unpersist()
     banded = base.select("_id", F.posexplode("_bk").alias("band", "bkey"))
     cand = (
         banded.alias("a")

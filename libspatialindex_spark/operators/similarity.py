@@ -174,17 +174,58 @@ def ann_topk_cosine_quantized(
     return d.filter(F.col("cos_q") >= F.lit(float(kth)))
 
 
+# Matrix-broadcast tier bound for the pair operators: the quantized vector
+# matrix (n × dim int64 + norms, ~0.5 KB/row at d=64) broadcasts only when
+# the whole table fits comfortably in driver + executor memory.  Above the
+# cap the join-based shapes run unchanged — scale-safe, same two-tier
+# discipline as ``dedup.connected_components`` (guide §3.1/§4.2: broadcast
+# the side that fits, then do the per-pair arithmetic as one vectorized
+# numpy kernel per Arrow batch instead of an interpreted HOF per pair).
+MATMUL_BROADCAST_MAX_ROWS = 200_000
+
+
+def _integral_id(df: DataFrame, id_col: str) -> bool:
+    from pyspark.sql import types as T
+
+    return isinstance(
+        df.schema[id_col].dataType,
+        (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+    )
+
+
+def _collect_qmat(base: DataFrame):
+    """Driver-side (ids, Q, N2) of a (_id, _q, _n2) relation, id-sorted.
+    Caller has checked the row count against the broadcast cap.  Arrow
+    transfer (``toPandas``) — the pickled row path was measured 3× slower
+    for array columns (guide §6)."""
+    pdf = base.select("_id", "_q", "_n2").toPandas()
+    pdf = pdf.sort_values("_id").reset_index(drop=True)
+    ids = pdf["_id"].to_numpy(dtype=np.int64)
+    Q = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["_q"]])
+    N2 = pdf["_n2"].to_numpy(dtype=np.int64)
+    return ids, Q, N2
+
+
 def quantized_cosine_pairs(
     df: DataFrame,
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    matmul_max_rows: int = MATMUL_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine over *quantized integer*
     vectors ≥ threshold, id1 < id2.  Quantization makes dot products and
     norms exact integers, so the one float division + sqrt is bit-identical
     across engines (the oracle-checkable variant; brute-force O(n²) — for
-    scale use :func:`lsh_near_dup_pairs`)."""
+    scale use :func:`lsh_near_dup_pairs`).
+
+    Two-tier execution (r6, guide §4.2): up to ``matmul_max_rows`` vectors
+    the quantized matrix broadcasts and each task computes its row-block's
+    dot products against the whole matrix as ONE int64 numpy matmul —
+    exact integers, identical float division, ~10× over the interpreted
+    per-pair HOF fold (measured 4.97 s → 0.46 s at sf0.1, same rows).
+    Above the cap the cross-join + HOF shape runs unchanged (a quadratic
+    baseline at that size has bigger problems than the fold)."""
     qv, n2 = _quant_cos_cols(vec_col)
 
     # Quantize + norm ONCE per vector behind a persist boundary — the cross
@@ -195,6 +236,51 @@ def quantized_cosine_pairs(
     base = df.repartition(npart, F.col(id_col)).select(
         F.col(id_col).alias("_id"), qv.alias("_q"), n2.alias("_n2")
     ).persist()
+    n_rows = base.count()  # materializes the cache; sizes the tier
+
+    if n_rows <= matmul_max_rows and _integral_id(df, id_col):
+        import pandas as pd
+
+        ids, Q, N2 = _collect_qmat(base)
+        bc = df.sparkSession.sparkContext.broadcast((ids, Q, N2))
+        thr = float(threshold)
+
+        def work(batches):
+            ids_a, Q_a, N2_a = bc.value
+            idx = {int(v): i for i, v in enumerate(ids_a)}
+            n2f = N2_a.astype(np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                bi = np.array(
+                    [idx[int(v)] for v in pdf["_id"]], dtype=np.int64
+                )
+                dots = Q_a[bi] @ Q_a.T  # exact int64 (|q|≤~1e5·√d)
+                # cast BEFORE multiplying, like the Column path: the int64
+                # norm product overflows
+                cos = dots.astype(np.float64) / np.sqrt(
+                    n2f[bi][:, None] * n2f[None, :]
+                )
+                mask = (ids_a[bi][:, None] < ids_a[None, :]) & (cos >= thr)
+                r_, c_ = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {
+                        "id1": ids_a[bi][r_],
+                        "id2": ids_a[c_],
+                        "cos_q": cos[r_, c_],
+                    }
+                )
+
+        id_t = df.schema[id_col].dataType.simpleString()
+        out = base.select("_id").mapInPandas(
+            work, f"id1 {id_t}, id2 {id_t}, cos_q double"
+        )
+        try:
+            return out.localCheckpoint()
+        finally:
+            base.unpersist()
+            bc.unpersist()
+
     dot = F.aggregate(
         F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -290,6 +376,88 @@ def band_keys_udf(planes: np.ndarray, bands: int, rows_per_band: int):
     return _keys
 
 
+def fused_banded_verify(
+    base: DataFrame,
+    threshold: float,
+    id_type: str,
+) -> DataFrame:
+    """Matrix-broadcast verify tier shared by the banded sign-LSH pair
+    operators (in-flight :func:`lsh_near_dup_pairs` and the stored-index
+    ``ann_index.lsh_near_dup_pairs_stored``).
+
+    ``base`` is a persisted, MATERIALIZED (_id, _q, _n2, _bk) relation
+    whose row count the caller has checked against the broadcast cap.
+    The band equi-join still generates candidates distributed (only
+    (id, band, key) ride that exchange), but everything downstream fuses
+    into ONE Arrow stage over the join output:
+
+    * **first-match-band dedup** — a pair is kept only in its smallest
+      matching band (computable per row from the broadcast band-key
+      matrix), so the quadratic-ish ``dropDuplicates`` exchange over the
+      candidate stream disappears (guide §2.4: remove shuffles outright);
+    * **matmul verify** — per-pair integer dots come from one vectorized
+      numpy gather+einsum instead of two join-backs that shuffled the
+      quantized arrays per candidate plus an interpreted HOF fold per
+      pair (guide §4.2).
+
+    Output rows and cos_q doubles are identical to the join-based shape:
+    the dedup keeps exactly one instance per candidate pair, and the
+    arithmetic is the same int64 dot → one float division."""
+    import pandas as pd
+
+    pdf = base.select("_id", "_q", "_n2", "_bk").toPandas()
+    pdf = pdf.sort_values("_id").reset_index(drop=True)
+    ids = pdf["_id"].to_numpy(dtype=np.int64)
+    Q = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["_q"]])
+    N2 = pdf["_n2"].to_numpy(dtype=np.int64)
+    BK = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["_bk"]])
+    bc = base.sparkSession.sparkContext.broadcast((ids, Q, N2, BK))
+    thr = float(threshold)
+
+    banded = base.select("_id", F.posexplode("_bk").alias("band", "bkey"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bkey"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id1"),
+            F.col("b._id").alias("id2"),
+            F.col("band"),
+        )
+    )
+
+    def work(batches):
+        ids_a, Q_a, N2_a, BK_a = bc.value
+        idx = {int(v): i for i, v in enumerate(ids_a)}
+        n2f = N2_a.astype(np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            i = np.array([idx[int(v)] for v in pdf["id1"]], dtype=np.int64)
+            j = np.array([idx[int(v)] for v in pdf["id2"]], dtype=np.int64)
+            band = pdf["band"].to_numpy(dtype=np.int64)
+            # keep each pair only in its FIRST matching band — the
+            # current row's band matches by construction, so argmax
+            # (first True) is well-defined
+            eq = BK_a[i] == BK_a[j]  # (m, B) bool
+            keep = eq.argmax(axis=1) == band
+            i, j = i[keep], j[keep]
+            dots = np.einsum("ij,ij->i", Q_a[i], Q_a[j])  # exact int64
+            cos = dots.astype(np.float64) / np.sqrt(n2f[i] * n2f[j])
+            ok = cos >= thr
+            yield pd.DataFrame(
+                {"id1": ids_a[i][ok], "id2": ids_a[j][ok], "cos_q": cos[ok]}
+            )
+
+    out = cand.mapInPandas(
+        work, f"id1 {id_type}, id2 {id_type}, cos_q double"
+    )
+    try:
+        return out.localCheckpoint()
+    finally:
+        bc.unpersist()
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     threshold: float,
@@ -299,6 +467,7 @@ def lsh_near_dup_pairs(
     id_col: str = "vec_id",
     seed: int = 42,
     dim: int = 64,
+    matmul_max_rows: int = MATMUL_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Scale path for embedding near-dup: banded sign-LSH candidates
     (union over B bands of exact r-bit band-key matches — the
@@ -308,7 +477,9 @@ def lsh_near_dup_pairs(
     The candidate shuffle carries only (id, band, key) — quantized vectors
     are joined back by id for the verify stage, so the wide arrays never
     ride the banded exchange (the join-back discipline VERDICT r1 asked of
-    minhash)."""
+    minhash).  Up to ``matmul_max_rows`` vectors the verify runs as the
+    fused matrix-broadcast tier (:func:`fused_banded_verify`); above it
+    the join-back shape runs unchanged — scale-safe."""
     planes = quantized_planes(dim, bands * rows_per_band, seed)
     qv, n2 = _quant_cos_cols(vec_col)
     keys = band_keys_udf(planes, bands, rows_per_band)
@@ -320,6 +491,14 @@ def lsh_near_dup_pairs(
         n2.alias("_n2"),
         keys(F.col(vec_col)).alias("_bk"),
     ).persist()
+    n_rows = base.count()  # materializes the cache; sizes the tier
+
+    if n_rows <= matmul_max_rows and _integral_id(df, id_col):
+        id_t = df.schema[id_col].dataType.simpleString()
+        try:
+            return fused_banded_verify(base, threshold, id_t)
+        finally:
+            base.unpersist()
 
     banded = base.select(
         "_id", F.posexplode("_bk").alias("band", "bkey")

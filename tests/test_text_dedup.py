@@ -412,3 +412,30 @@ def test_connected_components_drift_falls_back_distributed(spark):
         ).collect()
     }
     assert got_at == want and got_below == want
+
+
+# --- r6 fused/matmul verify tiers: identical rows to the join-based tier ---
+
+
+def _pairset(df, val_col):
+    return {(r.id1, r.id2, r[val_col]) for r in df.collect()}
+
+
+def test_quantized_pairs_matmul_tier_equals_join_tier(emb):
+    fused = similarity.quantized_cosine_pairs(emb, 0.4)
+    joined = similarity.quantized_cosine_pairs(emb, 0.4, matmul_max_rows=0)
+    assert _pairset(fused, "cos_q") == _pairset(joined, "cos_q")
+
+
+def test_lsh_pairs_fused_tier_equals_join_tier(emb):
+    fused = similarity.lsh_near_dup_pairs(emb, 0.4)
+    joined = similarity.lsh_near_dup_pairs(emb, 0.4, matmul_max_rows=0)
+    assert _pairset(fused, "cos_q") == _pairset(joined, "cos_q")
+
+
+def test_minhash_fused_tier_equals_join_tier(docs):
+    fused = dedup.minhash_lsh_pairs(docs, threshold=0.4)
+    joined = dedup.minhash_lsh_pairs(
+        docs, threshold=0.4, verify_broadcast_max_docs=0
+    )
+    assert _pairset(fused, "jaccard") == _pairset(joined, "jaccard")
