@@ -326,13 +326,25 @@ def q09_time_range(spark, sf_dir):
     deleted mid-life and re-inserted with a shifted box — true multi-
     version), query dedups ids across versions (visitedData semantics).
 
-    Lineage barrier on the op stream (the q49 pattern): the 4-branch
-    union over the dyadic derivation would otherwise be substituted into
-    the fold's window/join references — the lazy localCheckpoint
-    materializes the op rows once and the fold reads plain columns
-    (measured −25% at sf0.1; on a stored op log this is moot)."""
-    td.register_views(spark, sf_dir)
-    ops = spark.sql(td.MVR_OPS_SQL).localCheckpoint(eager=False)
+    r6 shape (guide §2.3/§2.4): the op stream comes from ``td.mvr_ops``
+    (base CTE computed once; the SQL text's four-way union re-derived and
+    re-DISTINCTed the whole base per branch), and the query window is
+    applied to the OPS before the fold — ``versions_from_ops`` groups by
+    (id, box) and every op row carries its group's box verbatim, so
+    pruning whole groups by the spatial predicate is exactly equivalent
+    to filtering the folded versions (the version rows of a dropped group
+    could never pass the same predicate downstream).  The fold's shuffle
+    then carries only window-relevant ops instead of the full stream.
+    The predicate pushes below each branch's DISTINCT (grouping-key
+    filter), so no lineage barrier is needed — each branch is a
+    scan+filter, and the old localCheckpoint is gone."""
+    from libspatialindex_spark.functions import geometry as G
+
+    ops = td.mvr_ops(spark, sf_dir).filter(
+        G.intersects(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), *W
+        )
+    )
     vers = temporal.versions_from_ops(ops)
     rel = SpatialRelation(vers, CONF, max_extent=(td.MAX_EXTENT, td.MAX_EXTENT))
     return temporal.time_range_query(rel, *W, *TQ).select("id")
@@ -392,8 +404,7 @@ def _version_index(spark, sf_dir):
     try:
         idx = ti.load_version_index(spark, path)
     except FileNotFoundError:
-        td.register_views(spark, sf_dir)
-        vers = temporal.versions_from_ops(spark.sql(td.MVR_OPS_SQL))
+        vers = temporal.versions_from_ops(td.mvr_ops(spark, sf_dir))
         idx = ti.build_version_index(vers, path, n_tbuckets=16)
     _TEMPORAL_IDX[key] = idx
     return idx

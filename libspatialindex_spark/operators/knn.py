@@ -456,23 +456,24 @@ def _knn_join_seed_core(
     ).drop("qxmin", "qymin", "qxmax", "qymax")
     nx = F.greatest(F.col(b.xmin), F.least(F.col("_qx"), F.col(b.xmax)))
     ny = F.greatest(F.col(b.ymin), F.least(F.col("_qy"), F.col(b.ymax)))
+    # no persist on the candidate stream (r6): it feeds exactly ONE action
+    # (the localCheckpoint below) — caching it only added a full extra
+    # materialization pass of the widest intermediate (guide §5: persist
+    # pays only when an intermediate is reused)
     cand = (
         qcells.join(ecells, on="cell")
         .withColumn(dist_col, d2)
         .filter(F.col(dist_col) <= F.col("_r") * F.col("_r"))
         .filter(_cell_of_point(nx, ny, n, conf.world) == F.col("cell"))
-        .persist()
     )
     rn = F.row_number().over(win.orderBy(dist_col, "id"))
     scored = cand.withColumn("_rn", rn).withColumn(
         "_kth", F.max(F.when(F.col("_rn") <= k, F.col(dist_col))).over(win)
     ).withColumn("_cnt", F.count(F.lit(1)).over(win))
     ok = scored.filter(F.col("_cnt") >= k)
-    rows = ok.filter(F.col(dist_col) <= F.col("_kth")).select(
+    return ok.filter(F.col(dist_col) <= F.col("_kth")).select(
         F.col("_qid").alias(qid_col), "id", dist_col
     ).localCheckpoint()
-    cand.unpersist()
-    return rows
 
 
 def knn_join(
@@ -660,18 +661,17 @@ def knn_join(
         # the query's ±r square, and in exactly one cell.
         nx = F.greatest(F.col(b.xmin), F.least(F.col("_qx"), F.col(b.xmax)))
         ny = F.greatest(F.col(b.ymin), F.least(F.col("_qy"), F.col(b.ymax)))
+        # single-action candidate stream — no persist (see seed core)
         cand = (
             qcells.join(ecells, on="cell")
             .withColumn(dist_col, d2)
             .filter(F.col(dist_col) <= F.lit(r * r))
             .filter(_cell_of_point(nx, ny, n, conf.world) == F.col("cell"))
-            .persist()
         )
         rows, done_qids = resolve(cand, lambda cnt: cnt >= k)
         # rows is already materialized inside resolve(); out stays a
         # shallow union of checkpointed slices (≤ ~8 rounds deep)
         out = rows if out is None else out.unionByName(rows)
-        cand.unpersist()
         new_pending = pending.join(done_qids, on="_qid", how="left_anti").persist()
         pending.unpersist()
         pending = new_pending

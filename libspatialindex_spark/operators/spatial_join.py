@@ -180,7 +180,7 @@ def point_in_box_join(
     py: str,
     box,
     conf,
-    join_bits: int = 8,
+    join_bits: int = 7,
     broadcast_boxes: bool = True,
     salt: int | str | None = None,
     hot_cell_threshold: int = 2_000_000,
@@ -193,6 +193,14 @@ def point_in_box_join(
     Otherwise a cell-keyed shuffle join; ``salt`` replicates box rows per
     salt bucket so a hot cell (skewed point pile-up) spreads over ``salt``
     reducers while point rows stay single-copy.
+
+    ``join_bits`` trades box-side cell fan-out against per-cell candidate
+    count (the exact predicate re-checks every candidate either way, so
+    the result is bits-independent).  Default 7 (r6, guide §2.3): at 8
+    the benchmark polygon layer exploded to ~25 cells/box (~500k rows to
+    broadcast-build or ×salt-replicate); 7 quarters the fan-out for a
+    ~2× larger — still cheap, codegen — candidate filter, measured
+    10-30% faster on both the broadcast and the salted path at sf0.1.
 
     ``salt="auto"`` derives the salt factor from DATA STATS (the LISA
     stats-driven-cut precedent, ``src/learnedindex/BulkLoader.cc:543-556``):

@@ -129,6 +129,55 @@ SELECT 0 AS op, id, t0 + lifespan AS t,
        xmin + dx, ymin + dy, xmax + dx, ymax + dy FROM base WHERE has_v2
 """
 
+def mvr_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-side builder of the MVR op stream — row-identical to
+    ``spark.sql(MVR_OPS_SQL)`` (pinned by a pytest), but the ``base`` CTE
+    is constructed ONCE as a DataFrame and the four op branches are cheap
+    projections of it, instead of the SQL text's four-way union each
+    re-deriving (and re-DISTINCTing) the full base (guide §2.4: Spark
+    inlines WITH subqueries, so the SQL form pays 4 scans + 4 distinct
+    shuffles of the whole table).  As DataFrame branches, a downstream
+    per-box filter also pushes into every branch below the DISTINCT —
+    the q09 group-key pushdown relies on that."""
+    register_views(spark, sf_dir)
+    base = spark.sql(f"""
+WITH r AS ({RECTS_SQL.strip()})
+SELECT DISTINCT id, xmin, ymin, xmax, ymax,
+  CAST((id * 7919 + 3) % 1000 AS DOUBLE) AS t0,
+  CAST(2 + (id * 104729 + 5) % 64 AS DOUBLE) AS lifespan,
+  CAST(1 + (id * 40503 + 7) % (1 + (id * 104729 + 5) % 64) AS DOUBLE)
+    AS mid_off,
+  (id % 3 = 0) AS has_v2,
+  CAST((id * 2246822519 + 41) % 4096 AS DOUBLE) / {SCALE}.0 AS dx,
+  CAST((id * 1779033703 + 59) % 4096 AS DOUBLE) / {SCALE}.0 AS dy
+FROM r
+""")
+    box = [F.col(c) for c in ("xmin", "ymin", "xmax", "ymax")]
+    shifted = [
+        (F.col("xmin") + F.col("dx")).alias("xmin"),
+        (F.col("ymin") + F.col("dy")).alias("ymin"),
+        (F.col("xmax") + F.col("dx")).alias("xmax"),
+        (F.col("ymax") + F.col("dy")).alias("ymax"),
+    ]
+    v2 = base.filter(F.col("has_v2"))
+    b1 = base.select(F.lit(1).alias("op"), "id", F.col("t0").alias("t"), *box)
+    b2 = base.select(
+        F.lit(0).alias("op"), "id",
+        F.when(F.col("has_v2"), F.col("t0") + F.col("mid_off"))
+        .otherwise(F.col("t0") + F.col("lifespan")).alias("t"),
+        *box,
+    )
+    b3 = v2.select(
+        F.lit(1).alias("op"), "id",
+        (F.col("t0") + F.col("mid_off")).alias("t"), *shifted
+    )
+    b4 = v2.select(
+        F.lit(0).alias("op"), "id",
+        (F.col("t0") + F.col("lifespan")).alias("t"), *shifted
+    )
+    return b1.unionByName(b2).unionByName(b3).unionByName(b4)
+
+
 # The fold of the op stream into validity intervals: a DELETE matches the
 # exact (mbr, id) it inserts — precisely ``deleteData``'s contract
 # (``RTree.cc:599-608`` findLeaf by exact (mbr, id)).  Pairing is

@@ -263,3 +263,15 @@ def test_versions_sql_matches_engine_fold(spark):
     sql = spark.sql(td.MVR_VERSIONS_SQL).select("id", "xmin", "tstart", "tend")
     assert eng.exceptAll(sql).count() == 0
     assert sql.exceptAll(eng).count() == 0
+
+
+def test_mvr_ops_builder_matches_sql(spark):
+    """r6: the DataFrame op-stream builder (base CTE computed once) must be
+    row-identical to the SQL text the DuckDB oracle embeds."""
+    from libspatialindex_spark.sources import testdata as td
+    from tests.conftest import SF_DIR
+
+    a = td.mvr_ops(spark, SF_DIR)
+    b = spark.sql(td.MVR_OPS_SQL)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
