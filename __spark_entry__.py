@@ -59,9 +59,17 @@ def _rects_rel(
     # subsequent job of the operator reads plain materialized columns
     # instead of re-deriving per job.  Single-pass queries stay direct —
     # for them the barrier would just add a write+read of the whole table.
+    #
+    # spread() BEFORE the checkpoint (r6, guide §2.5/§6): the bench tables
+    # are single-row-group parquet, so the raw scan plans ≤3 splits and a
+    # checkpoint taken on it pins EVERY downstream job of the operator
+    # (seed histogram, cell explode, candidate join) to 3 tasks.  The
+    # scale-adaptive repartition widens the materialized layout to the
+    # core count; at real scale the scan is already wide and spread() is
+    # a no-op.
     df = td.rects(spark, sf_dir)
     if mat:
-        df = df.localCheckpoint(eager=False)
+        df = td.spread(df, "id").localCheckpoint(eager=False)
     return SpatialRelation(df, CONF, max_extent=(td.MAX_EXTENT, td.MAX_EXTENT))
 
 
@@ -223,11 +231,15 @@ P3 = (0.5, 0.5, 0.5)
 B3_LO, B3_HI = (0.40, 0.45, 0.50), (0.50, 0.55, 0.60)  # 3-D box-kNN (q55)
 
 
-def _rects3_rel(spark, sf_dir):
+def _rects3_rel(spark, sf_dir, mat: bool = False):
     from libspatialindex_spark.operators import nd
 
     td.register_views(spark, sf_dir)
     df = spark.sql(td.RECTS3D_SQL)
+    if mat:
+        # multi-job consumers (the 3-D kNN ring loops) — same spread +
+        # lazy-checkpoint rationale as ``_rects_rel(mat=True)``
+        df = td.spread(df, "id").localCheckpoint(eager=False)
     box = nd.NDBox((("xmin", "xmax"), ("ymin", "ymax"), ("wmin", "wmax")))
     return nd.NDRelation(
         df, nd.NDConfig(axes=((0.0, 1.0),) * 3, grid_bits=10), box
@@ -247,7 +259,7 @@ def q17_3d_knn(spark, sf_dir):
     """3-D tie-inclusive kNN (dimension-generic Q4)."""
     from libspatialindex_spark.operators import nd
 
-    rel = _rects3_rel(spark, sf_dir)
+    rel = _rects3_rel(spark, sf_dir, mat=True)
     return nd.knn_query_nd(rel, list(P3), K).select("id", "dist2")
 
 
@@ -310,7 +322,7 @@ def q55_3d_knn_box(spark, sf_dir):
     Tie-inclusive like q17."""
     from libspatialindex_spark.operators import nd
 
-    rel = _rects3_rel(spark, sf_dir)
+    rel = _rects3_rel(spark, sf_dir, mat=True)
     return nd.knn_box_query_nd(rel, list(B3_LO), list(B3_HI), K).select(
         "id", "dist2"
     )
