@@ -121,6 +121,31 @@ def minhash_lsh_pairs(
     rows = bands
     assert n_hashes % bands == 0
     r = n_hashes // bands
+    npart = df.sparkSession.sparkContext.defaultParallelism
+
+    # Fused broadcast tier (r6, guide §2.4/§4.2): below the broadcast cap
+    # (probed with a cheap limit+count) the gram-hash table fits driver-
+    # side — it was already being broadcast for the attach joins — so the
+    # per-gram hashing runs as C-speed hashlib in an Arrow stage, the 16
+    # signature mins are one vectorized numpy pass, and everything after
+    # the (still distributed) band join fuses into a single Arrow verify
+    # stage.  Portable mode only: the fused kernel replicates the md5-60
+    # hash bit-for-bit (the same ``simhash60_py`` construction the tests
+    # pin); the xxhash64 fast mode has no Python twin.
+    if (
+        portable
+        and verify_broadcast_max_docs
+        and isinstance(
+            df.schema[id_col].dataType,
+            (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+        )
+        and df.limit(verify_broadcast_max_docs + 1).count()
+        <= verify_broadcast_max_docs
+    ):
+        return _fused_minhash_pairs(
+            df, text_col, id_col, k, n_hashes, bands, threshold, npart
+        )
+
     sh = shingles(F.col(text_col), k)
     # Two materialization boundaries: (1) hash each shingle ONCE (md5 is the
     # expensive part — projection collapse would inline it into all 16 sig
@@ -128,7 +153,6 @@ def minhash_lsh_pairs(
     # Repartition first: a small doc table reads as 1-2 splits and would
     # run the whole hash/signature stage on as many cores (measured 5-10×
     # on the bench fixture); at 100 TB the source is already wide.
-    npart = df.sparkSession.sparkContext.defaultParallelism
     hashed = df.repartition(npart, F.col(id_col)).select(
         F.col(id_col).alias("_id"),
         F.transform(sh, lambda s: _hash_expr(s, portable)).alias("_hv"),
@@ -164,84 +188,7 @@ def minhash_lsh_pairs(
     ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
     left = banded.select(F.col("_id").alias("id1"), "band", "bsig")
     right = banded.select(F.col("_id").alias("id2"), "band", "bsig")
-    n_docs = hashed.count()  # materializes the cache; sizes the verify tier
-
-    if n_docs <= verify_broadcast_max_docs and isinstance(
-        df.schema[id_col].dataType,
-        (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
-    ):
-        # Fused broadcast tier (r6, guide §2.4/§4.2): the gram-hash table
-        # fits driver-side at this size (it was already being broadcast
-        # for the attach joins), so collect it ONCE together with the
-        # signature matrix and fuse everything after the band join into a
-        # single Arrow stage over the join output:
-        #  * first-match-band dedup — a pair is kept only in its smallest
-        #    matching band (decidable per row from the broadcast signature
-        #    matrix), replacing the dropDuplicates exchange over the
-        #    candidate stream;
-        #  * exact-Jaccard verify — |A∩B| over the two sorted int64 hash
-        #    arrays per kept pair in numpy, replacing the two attach joins
-        #    + per-pair array_intersect (measured 2.5 s of the 4.3 s
-        #    operator at sf0.1).
-        # Row set and jaccard doubles are identical: same candidates kept
-        # exactly once, same integer set sizes, same one float division.
-        import numpy as np
-        import pandas as pd
-
-        hpdf = hashed.toPandas().sort_values("_id").reset_index(drop=True)
-        ids_a = hpdf["_id"].to_numpy(dtype=np.int64)
-        hv_a = [
-            np.sort(np.asarray(v, dtype=np.int64)) for v in hpdf["_hv"]
-        ]
-        spdf = base.toPandas().sort_values("_id").reset_index(drop=True)
-        SIG = np.stack(
-            [np.asarray(v, dtype=np.int64) for v in spdf["_sig"]]
-        ).reshape(len(spdf), rows, r)
-        bc = df.sparkSession.sparkContext.broadcast((ids_a, hv_a, SIG))
-        thr = float(threshold)
-
-        cand = (
-            left.join(right, on=["band", "bsig"])
-            .filter(F.col("id1") < F.col("id2"))
-            .select("id1", "id2", "band")
-        )
-
-        def work(batches):
-            ids_b, hv_b, SIG_b = bc.value
-            idx = {int(v): k for k, v in enumerate(ids_b)}
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                i = np.array([idx[int(v)] for v in pdf["id1"]], dtype=np.int64)
-                j = np.array([idx[int(v)] for v in pdf["id2"]], dtype=np.int64)
-                band = pdf["band"].to_numpy(dtype=np.int64)
-                eq = (SIG_b[i] == SIG_b[j]).all(axis=2)  # (m, bands)
-                keep = eq.argmax(axis=1) == band
-                i, j = i[keep], j[keep]
-                out_i, out_j, out_jac = [], [], []
-                for ii, jj in zip(i, j):
-                    a_, b_ = hv_b[ii], hv_b[jj]
-                    ni = np.intersect1d(a_, b_, assume_unique=True).size
-                    union = a_.size + b_.size - ni
-                    jac = 1.0 if union == 0 else float(ni) / float(union)
-                    if jac >= thr:
-                        out_i.append(ids_b[ii])
-                        out_j.append(ids_b[jj])
-                        out_jac.append(jac)
-                yield pd.DataFrame(
-                    {"id1": out_i, "id2": out_j, "jaccard": out_jac},
-                ).astype({"id1": "int64", "id2": "int64", "jaccard": "float64"})
-
-        id_t = df.schema[id_col].dataType.simpleString()
-        out = cand.mapInPandas(
-            work, f"id1 {id_t}, id2 {id_t}, jaccard double"
-        )
-        try:
-            return out.localCheckpoint()
-        finally:
-            base.unpersist()
-            hashed.unpersist()
-            bc.unpersist()
+    n_docs = hashed.count()  # materializes the cache; sizes the attach
 
     cand = (
         left.join(right, on=["band", "bsig"])
@@ -286,6 +233,147 @@ def minhash_lsh_pairs(
     finally:
         base.unpersist()
         hashed.unpersist()
+
+
+def _fused_minhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    n_hashes: int,
+    bands: int,
+    threshold: float,
+    npart: int,
+) -> DataFrame:
+    """Broadcast tier of :func:`minhash_lsh_pairs` (portable mode,
+    integral ids, corpus under the broadcast cap — the caller checks).
+
+    Same algorithm, three execution changes (guide §2.4/§4.2):
+
+    * per-gram md5-60 hashing runs as C-speed ``hashlib`` inside one
+      Arrow stage (the Column form pays an interpreted HOF per gram —
+      measured ~1.5 s of the operator at sf0.1 for 1.45M grams);
+    * the 16 signature mins are one vectorized numpy ``minimum.reduceat``
+      pass over the flattened hash stream, and the banded key table is
+      created from the driver (it is broadcast-scale by the tier
+      precondition) — candidates still come from the DISTRIBUTED
+      (band, band-signature) equi-join, the operator's scale shape;
+    * the join output flows into a single Arrow verify stage that keeps
+      each pair only in its first matching band (no dropDuplicates
+      exchange) and computes exact Jaccard on the sorted hash arrays.
+
+    Hash values are bit-identical to the Column path (same md5-60, same
+    (a·h+b) mod M61 in int64 — products stay below 2^63 for 60-bit
+    hashes), so candidates, kept pairs and jaccard doubles all match the
+    join-based tier exactly (pinned by the tier-equivalence pytest)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    r = n_hashes // bands
+
+    def work_hash(batches):
+        for pdf in batches:
+            ids, hvs = [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                s = txt
+                grams = (
+                    {s}
+                    if len(s) < k
+                    else {s[i : i + k] for i in range(len(s) - k + 1)}
+                )
+                hv = np.fromiter(
+                    (
+                        int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                        for g in grams
+                    ),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+                ids.append(did)
+                hvs.append(hv)
+            yield pd.DataFrame({"_id": ids, "_hv": hvs})
+
+    hpdf = (
+        df.repartition(npart, F.col(id_col))
+        .select(id_col, text_col)
+        .mapInPandas(work_hash, "_id long, _hv array<long>")
+        .toPandas()
+        .sort_values("_id")
+        .reset_index(drop=True)
+    )
+    ids_a = hpdf["_id"].to_numpy(dtype=np.int64)
+    hv_raw = [np.asarray(v, dtype=np.int64) for v in hpdf["_hv"]]
+    n = len(ids_a)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "id1 long, id2 long, jaccard double"
+        ).localCheckpoint()
+    flat = np.concatenate(hv_raw)
+    lens = np.fromiter((a.size for a in hv_raw), dtype=np.int64, count=n)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    SIG = np.empty((n, n_hashes), dtype=np.int64)
+    for j, (a, b) in enumerate(MINHASH_PARAMS[:n_hashes]):
+        SIG[:, j] = np.minimum.reduceat(
+            (flat * np.int64(a) + np.int64(b)) % np.int64(MERSENNE61), offsets
+        )
+    S3 = SIG.reshape(n, bands, r)
+    hv_sorted = [np.sort(a) for a in hv_raw]
+
+    banded_pdf = pd.DataFrame(
+        {
+            "_id": np.repeat(ids_a, bands),
+            "band": np.tile(np.arange(bands, dtype=np.int32), n),
+            "bsig": [S3[i, b] for i in range(n) for b in range(bands)],
+        }
+    )
+    banded = spark.createDataFrame(banded_pdf)
+    left = banded.select(F.col("_id").alias("id1"), "band", "bsig")
+    right = banded.select(F.col("_id").alias("id2"), "band", "bsig")
+    cand = (
+        left.join(right, on=["band", "bsig"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "band")
+    )
+
+    bc = spark.sparkContext.broadcast((ids_a, hv_sorted, S3))
+    thr = float(threshold)
+
+    def work_verify(batches):
+        ids_b, hv_b, SIG_b = bc.value
+        idx = {int(v): kk for kk, v in enumerate(ids_b)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            i = np.array([idx[int(v)] for v in pdf["id1"]], dtype=np.int64)
+            j = np.array([idx[int(v)] for v in pdf["id2"]], dtype=np.int64)
+            band = pdf["band"].to_numpy(dtype=np.int64)
+            eq = (SIG_b[i] == SIG_b[j]).all(axis=2)  # (m, bands)
+            keep = eq.argmax(axis=1) == band
+            i, j = i[keep], j[keep]
+            out_i, out_j, out_jac = [], [], []
+            for ii, jj in zip(i, j):
+                a_, b_ = hv_b[ii], hv_b[jj]
+                ni = np.intersect1d(a_, b_, assume_unique=True).size
+                union = a_.size + b_.size - ni
+                jac = 1.0 if union == 0 else float(ni) / float(union)
+                if jac >= thr:
+                    out_i.append(ids_b[ii])
+                    out_j.append(ids_b[jj])
+                    out_jac.append(jac)
+            yield pd.DataFrame(
+                {"id1": out_i, "id2": out_j, "jaccard": out_jac},
+            ).astype({"id1": "int64", "id2": "int64", "jaccard": "float64"})
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    out = cand.mapInPandas(work_verify, f"id1 {id_t}, id2 {id_t}, jaccard double")
+    try:
+        return out.localCheckpoint()
+    finally:
+        bc.unpersist()
 
 
 def ngram_jaccard_pairs(

@@ -111,26 +111,26 @@ def self_join_query(
 
     # Window restriction first (both sides must intersect the window) —
     # this is the reference's `m_query` narrowing (RTree.cc:1812-1817).
-    # Persist: the window-filtered base feeds BOTH join sides; without the
-    # boundary Spark scans + filters the source twice.
+    # Eager localCheckpoint (r6): the window-filtered base feeds BOTH join
+    # sides AND the strategy count, and it is tiny next to the pair output
+    # (window-selective rows vs their per-cell quadratic).  The previous
+    # shape persisted base and eagerly checkpointed the PAIRS so base
+    # could be unpersisted before returning — paying a full extra
+    # materialization of the widest relation in the operator (guide §5).
+    # Checkpointing the small base instead lets the pair result stay lazy
+    # (computed exactly once, by the caller's action); the base blocks
+    # live only as long as the returned DataFrame — no session leak.
     base = rel.pruned_for_box(qxmin, qymin, qxmax, qymax).filter(
         G.intersects(
             F.col(b.xmin), F.col(b.ymin), F.col(b.xmax), F.col(b.ymax),
             qxmin, qymin, qxmax, qymax,
         )
-    ).select(id_col, b.xmin, b.ymin, b.xmax, b.ymax).persist()
-    try:
-        n_base = base.count()  # materializes the cache; sizes the strategy
-        return _self_join_pairs(
-            base, b, n, conf, id_col,
-            broadcast=(n_base <= broadcast_rows_max),
-        ).localCheckpoint()
-    finally:
-        # Materializing the pairs eagerly lets the window-filtered base's
-        # blocks be released here instead of leaking into a long-lived
-        # session (VERDICT r5 #5 — the same persist-leak class the r5
-        # knn_segment fix closed).
-        base.unpersist()
+    ).select(id_col, b.xmin, b.ymin, b.xmax, b.ymax).localCheckpoint()
+    n_base = base.count()  # cached rows; sizes the strategy
+    return _self_join_pairs(
+        base, b, n, conf, id_col,
+        broadcast=(n_base <= broadcast_rows_max),
+    )
 
 
 def _self_join_pairs(base, b, n, conf, id_col, broadcast=False):
