@@ -110,20 +110,37 @@ def knn_box_query(
     # until the window certifies ≥ k candidates.
     seeded = rel.seed_knn_radius_box(qxmin, qymin, qxmax, qymax, k)
     if seeded is not None:
-        cand = candidates(seeded)  # ≥ k rows certified within the radius
-    else:
-        radius = conf.knn_ring_init
-        cand = candidates(radius)
-        while radius < world_r and cand.limit(k).count() < k:
-            radius *= conf.knn_ring_growth
-            cand = candidates(radius)
-        if radius >= world_r:
-            # Ring saturated: fewer than k entries within world_r.  In-world
-            # distances still reach sqrt(2)·world_r, and entries may lie
-            # outside the configured world box — drop the distance cap and
-            # consider ALL entries (the reference returns min(k, N) rows).
-            cand = candidates(world_r, cap=False)
-    return _emit_tie_inclusive(cand, k, dist_col)
+        # ≥ k rows certified within the radius
+        return _emit_tie_inclusive(candidates(seeded), k, dist_col)
+    # Combined ring probe (r6, guide §1.2 fewer passes): ONE top-k agg per
+    # ring returns both the candidate count (certification) and the k-th
+    # distance (threshold) — the separate ``limit(k).count()`` probe job
+    # the old loop paid per ring is gone.  Candidates are capped at the
+    # ring radius, so a count ≥ k certifies kth ≤ r² ≤ any out-of-window
+    # distance — the tie-inclusive emit is exact.
+    radius = conf.knn_ring_init
+    while radius < world_r:
+        cand = candidates(radius).persist()
+        try:
+            row = (
+                cand.select(dist_col).orderBy(dist_col).limit(k)
+                .agg(
+                    F.max(dist_col).alias("kth"),
+                    F.count(F.lit(1)).alias("n"),
+                ).collect()[0]
+            )
+            if row["n"] >= k:
+                return cand.filter(
+                    F.col(dist_col) <= F.lit(row["kth"])
+                ).localCheckpoint()
+        finally:
+            cand.unpersist()
+        radius *= conf.knn_ring_growth
+    # Ring saturated: fewer than k entries within world_r.  In-world
+    # distances still reach sqrt(2)·world_r, and entries may lie
+    # outside the configured world box — drop the distance cap and
+    # consider ALL entries (the reference returns min(k, N) rows).
+    return _emit_tie_inclusive(candidates(world_r, cap=False), k, dist_col)
 
 
 def knn_query(
@@ -253,14 +270,25 @@ def knn_segment_query(
             return emit(cand, seeded)
         finally:
             cand.unpersist()
+    # Combined ring probe (r6): one top-k agg per ring yields both the
+    # certification count and the k-th distance — the separate
+    # ``limit(k).count()`` job per ring is gone (guide §1.2).
     radius = conf.knn_ring_init
     while radius < world_r:
         cand = projected(radius).persist()
         try:
-            if cand.filter(
-                F.col(dist_col) <= F.lit(radius * radius)
-            ).limit(k).count() >= k:
-                return emit(cand, radius)
+            capped = cand.filter(F.col(dist_col) <= F.lit(radius * radius))
+            row = (
+                capped.select(dist_col).orderBy(dist_col).limit(k)
+                .agg(
+                    F.max(dist_col).alias("kth"),
+                    F.count(F.lit(1)).alias("n"),
+                ).collect()[0]
+            )
+            if row["n"] >= k:
+                return capped.filter(
+                    F.col(dist_col) <= F.lit(row["kth"])
+                ).localCheckpoint()
         finally:
             cand.unpersist()
         radius *= conf.knn_ring_growth

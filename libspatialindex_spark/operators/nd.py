@@ -196,15 +196,30 @@ def _knn_shape_nd(
         df = df.withColumn(dist_col, d2)
         return df.filter(F.col(dist_col) <= radius * radius) if cap else df
 
+    # Combined ring probe (r6): one top-k agg per ring yields both the
+    # certification count and the k-th distance — the separate
+    # ``limit(k).count()`` job per ring is gone (guide §1.2; same shape
+    # as the 2-D ``knn_box_query``).
     radius = ring_init
-    cand = candidates(radius)
-    while radius < world_r and cand.limit(k).count() < k:
+    while radius < world_r:
+        cand = candidates(radius).persist()
+        try:
+            row = (
+                cand.select(dist_col).orderBy(dist_col).limit(k)
+                .agg(
+                    F.max(dist_col).alias("kth"),
+                    F.count(F.lit(1)).alias("n"),
+                ).collect()[0]
+            )
+            if row["n"] >= k:
+                return cand.filter(
+                    F.col(dist_col) <= F.lit(row["kth"])
+                ).localCheckpoint()
+        finally:
+            cand.unpersist()
         radius *= ring_growth
-        cand = candidates(radius)
-    if radius >= world_r:
-        cand = candidates(world_r, cap=False)  # saturation: no distance cap
 
-    cand = cand.persist()
+    cand = candidates(world_r, cap=False).persist()  # saturation: no cap
     try:
         kth_rows = (
             cand.select(dist_col).orderBy(dist_col).limit(k)
