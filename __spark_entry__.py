@@ -46,7 +46,7 @@ POLY_BOX = BoxCols("pxmin", "pymin", "pxmax", "pymax")
 
 
 def _rects_rel(
-    spark: SparkSession, sf_dir: str, mat: bool = False
+    spark: SparkSession, sf_dir: str, mat: bool = False, spread: bool = False
 ) -> SpatialRelation:
     # No z column here: Z-prune only pays when z is a *materialized* column
     # of a stored index (parquet attribute + zone maps).  On a derived
@@ -60,16 +60,21 @@ def _rects_rel(
     # instead of re-deriving per job.  Single-pass queries stay direct —
     # for them the barrier would just add a write+read of the whole table.
     #
-    # spread() BEFORE the checkpoint (r6, guide §2.5/§6): the bench tables
-    # are single-row-group parquet, so the raw scan plans ≤3 splits and a
-    # checkpoint taken on it pins EVERY downstream job of the operator
-    # (seed histogram, cell explode, candidate join) to 3 tasks.  The
-    # scale-adaptive repartition widens the materialized layout to the
-    # core count; at real scale the scan is already wide and spread() is
-    # a no-op.
+    # ``spread=True`` additionally widens the checkpoint to the core count
+    # BEFORE materializing (r6, guide §2.5/§6): the bench tables are
+    # single-row-group parquet, so the raw scan plans ≤3 splits and a
+    # checkpoint taken on it pins EVERY downstream job of the operator to
+    # 3 tasks.  Worth one narrow shuffle only for the HEAVY multi-job
+    # consumer (q19: seed histogram + candidate join over the checkpoint);
+    # for the single-ring kNN queries the exchange costs more than the
+    # extra parallelism buys (measured +0.5-0.7 s each at sf0.1), so they
+    # materialize with the scan layout.  At real scale the scan is already
+    # wide and spread() is a no-op either way.
     df = td.rects(spark, sf_dir)
     if mat:
-        df = td.spread(df, "id").localCheckpoint(eager=False)
+        if spread:
+            df = td.spread(df, "id")
+        df = df.localCheckpoint(eager=False)
     return SpatialRelation(df, CONF, max_extent=(td.MAX_EXTENT, td.MAX_EXTENT))
 
 
@@ -237,9 +242,10 @@ def _rects3_rel(spark, sf_dir, mat: bool = False):
     td.register_views(spark, sf_dir)
     df = spark.sql(td.RECTS3D_SQL)
     if mat:
-        # multi-job consumers (the 3-D kNN ring loops) — same spread +
-        # lazy-checkpoint rationale as ``_rects_rel(mat=True)``
-        df = td.spread(df, "id").localCheckpoint(eager=False)
+        # multi-job consumers (the 3-D kNN ring loops) — same lazy-
+        # checkpoint rationale as ``_rects_rel(mat=True)`` (no spread:
+        # ring queries are few-job, the exchange costs more than it buys)
+        df = df.localCheckpoint(eager=False)
     box = nd.NDBox((("xmin", "xmax"), ("ymin", "ymax"), ("wmin", "wmax")))
     return nd.NDRelation(
         df, nd.NDConfig(axes=((0.0, 1.0),) * 3, grid_bits=10), box
@@ -483,7 +489,7 @@ def q19_knn_join(spark, sf_dir):
     """Batch kNN (kNN join) — the reference's test1 workload (N queries ×
     10NN) as one job: iterative radius doubling over unresolved queries,
     cell equi-join candidates, per-query tie-inclusive threshold."""
-    rel = _rects_rel(spark, sf_dir, mat=True)
+    rel = _rects_rel(spark, sf_dir, mat=True, spread=True)
     td.register_views(spark, sf_dir)
     q = spark.sql(
         f"SELECT qid, qxmin AS qx, qymin AS qy FROM ({td.WINDOWS_SQL.strip()})"
