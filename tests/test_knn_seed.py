@@ -234,3 +234,26 @@ def test_knn_join_driver_and_distributed_tiers_agree(spark):
         for r in knn.knn_join(rel, q, 5, driver_seed_cap=0).collect()
     }
     assert a == b and len(a) >= 5
+
+
+def test_knn_join_no_extent_fallback_matches(spark, conf):
+    """r6: _knn_join_candidates has two shapes — single-cell entry keying
+    when max_extent is known, both-side explode + corner dedup otherwise.
+    Both must produce the identical kNN-join result."""
+    df = td.rects(spark, SF_DIR)
+    q = spark.sql(
+        "SELECT qid, qxmin AS qx, qymin AS qy FROM (" + td.WINDOWS_SQL + ")"
+    ).limit(40)
+    with_ext = SpatialRelation(
+        df, conf, max_extent=(td.MAX_EXTENT, td.MAX_EXTENT)
+    )
+    no_ext = SpatialRelation(df, conf, max_extent=None)
+    a = {
+        (r.qid, r.id, r.dist2)
+        for r in knn.knn_join(with_ext, q, K).collect()
+    }
+    b = {
+        (r.qid, r.id, r.dist2)
+        for r in knn.knn_join(no_ext, q, K).collect()
+    }
+    assert a == b and len(a) >= K
